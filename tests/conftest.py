@@ -1,0 +1,28 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Must set env vars BEFORE jax is imported anywhere; pytest imports conftest
+first, so this is the single chokepoint.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" via
+# jax.config at import time, overriding the env var — force CPU back before
+# any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices8():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs[:8]
