@@ -1,0 +1,228 @@
+"""Global rotation averaging: chordal initialization + robust manifold LM.
+
+Parity: /root/reference/gtsfm/averaging/rotation/shonan.py:39
+(ShonanRotationAveraging: GTSAM ShonanAveraging3 with chordal init via
+InitializePose3.initializeOrientations, inverse-#inlier noise weighting,
+index densification, retry without weights).
+
+TPU-first re-design. GTSAM's Shonan is an SO(p) staircase solved by CPU
+trust-region; here the same estimate is produced by
+  1. chordal relaxation — three decoupled (3N x 3N) linear solves on the
+     block graph Laplacian (dense Cholesky on the MXU; cameras per cluster
+     are bounded by the graph partitioner), then SVD projection to SO(3);
+  2. robust (Huber-IRLS) Gauss-Newton on the tangent space minimizing
+     sum_e w_e ||Log(R_j^T R_e R_i)||^2 — fixed-iteration lax.scan, fully
+     jit; Jacobians via vmapped forward-mode autodiff.
+Chordal + local refinement reaches the certified Shonan optimum in practice
+for inlier-dominated graphs (the cycle-consistency view-graph filter runs
+first in the pipeline); a staircase escape pass is future work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.geometry import so3
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, mm
+
+
+class RotationAveragingOptions(NamedTuple):
+    max_iterations: int = 30
+    robust_huber_rad: float = 0.1  # ~5.7 deg
+    init_lambda: float = 1e-6
+    weight_by_inliers: bool = True
+
+
+def chordal_init(
+    num_images: int,
+    edges: jnp.ndarray,  # i32[E, 2] (i1, i2) with i1 < i2
+    i2Ri1: jnp.ndarray,  # f32[E, 3, 3]
+    edge_weight: jnp.ndarray,  # f32[E] (0 = masked out)
+    anchor: int = 0,
+) -> jnp.ndarray:
+    """Chordal relaxation: minimize sum_e w_e ||X_i1 - i2Ri1^T X_i2||_F^2
+    with X_anchor = I, over unconstrained 3x3 X; project result to SO(3).
+
+    Solves one (3N, 3N) SPD system for all three columns at once (dense
+    Cholesky — MXU work). Parity: InitializePose3.initializeOrientations
+    (used at shonan.py:185-204).
+    """
+    n = num_images
+    i1 = edges[:, 0]
+    i2 = edges[:, 1]
+    w = edge_weight
+    # Edge residual: X_i1 - R_e^T X_i2, where R_e = i2Ri1 (maps frame i1->i2
+    # vectors), since wRi1 = wRi2 @ i2Ri1 => X_i1 = X_i2 @ i2Ri1... careful:
+    # global rotations satisfy i2Ri1 = wRi2^T wRi1, i.e. wRi1 = wRi2 i2Ri1.
+    # With X_i = wRi (3x3), columns do NOT decouple under right
+    # multiplication; instead solve for X_i^T = wRi^T: wRi1^T = i2Ri1^T wRi2^T
+    # -> column-decoupled with left multiplication by A_e = i2Ri1^T.
+    A = jnp.swapaxes(i2Ri1, -1, -2)  # (E, 3, 3)
+
+    # Build block Laplacian H (3N, 3N): for each edge, unknowns y_i1, y_i2
+    # (columns of X^T), residual y_i1 - A_e y_i2.
+    # H[i1,i1] += w I; H[i2,i2] += w A^T A (= w I, A rotation); off-diag
+    # H[i1,i2] -= w A; H[i2,i1] -= w A^T.
+    eyeE = jnp.broadcast_to(jnp.eye(3), A.shape) * w[:, None, None]
+    H = jnp.zeros((n, n, 3, 3))
+    H = H.at[i1, i1].add(eyeE)
+    H = H.at[i2, i2].add(eyeE)
+    H = H.at[i1, i2].add(-w[:, None, None] * A)
+    H = H.at[i2, i1].add(-w[:, None, None] * jnp.swapaxes(A, -1, -2))
+    Hd = H.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+    # anchor: y_anchor = each basis vector e_c. Eliminate by moving to rhs.
+    # rhs_c = -H[:, anchor] e_c ; unknowns exclude anchor rows/cols.
+    mask = jnp.arange(n) != anchor
+    idx = jnp.nonzero(mask, size=n - 1)[0]
+    rows = (idx[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
+    H_red = Hd[rows][:, rows]
+    anchor_cols = (anchor * 3 + jnp.arange(3))
+    B = -Hd[rows][:, anchor_cols]  # (3(n-1), 3) rhs for the 3 columns
+    # small ridge for isolated nodes
+    H_red = H_red + 1e-6 * jnp.eye(H_red.shape[0])
+    Y = jax.scipy.linalg.solve(H_red, B, assume_a="pos")  # (3(n-1), 3)
+
+    Xt = jnp.zeros((n, 3, 3))
+    Xt = Xt.at[anchor].set(jnp.eye(3))
+    Xt = Xt.at[idx].set(Y.reshape(n - 1, 3, 3).transpose(0, 2, 1))
+    # Xt rows hold y vectors: Xt[i] = [y^0_i; y^1_i; y^2_i] as rows -> this IS
+    # wRi^T with columns y_c. So wRi = transpose, then project.
+    R = jnp.swapaxes(Xt, -1, -2)
+    return so3.project(R)
+
+
+def _edge_residual(wRi1, wRi2, R_e):
+    """Log( (wRi2 i2Ri1)^T wRi1 ) — zero when consistent."""
+    return so3.logmap(mm(jnp.swapaxes(mm(wRi2, R_e), -1, -2), wRi1))
+
+
+@partial(jax.jit, static_argnames=("num_images", "opts"))
+def _refine(
+    num_images: int,
+    wRi0: jnp.ndarray,
+    edges: jnp.ndarray,
+    i2Ri1: jnp.ndarray,
+    edge_weight: jnp.ndarray,
+    opts: RotationAveragingOptions,
+):
+    """Robust Gauss-Newton on tangent space; returns refined wRi [N, 3, 3]."""
+    n = num_images
+    i1 = edges[:, 0]
+    i2 = edges[:, 1]
+
+    def cost_and_system(wRi):
+        R1 = wRi[i1]
+        R2 = wRi[i2]
+        r = _edge_residual(R1, R2, i2Ri1)  # (E, 3)
+
+        def local_resid(xi1, xi2, R1_, R2_, Re_):
+            return _edge_residual(mm(R1_, so3.expmap(xi1)), mm(R2_, so3.expmap(xi2)), Re_)
+
+        z3 = jnp.zeros(3)
+        J1, J2 = jax.vmap(
+            jax.jacfwd(local_resid, argnums=(0, 1)), in_axes=(None, None, 0, 0, 0)
+        )(z3, z3, R1, R2, i2Ri1)  # (E, 3, 3) each
+
+        nrm = jnp.linalg.norm(r, axis=-1)
+        k = opts.robust_huber_rad
+        w_rob = jnp.minimum(1.0, k / jnp.maximum(nrm, 1e-12)) if k > 0 else jnp.ones_like(nrm)
+        w = edge_weight * w_rob
+
+        # assemble dense block H (N, N, 3, 3) and gradient (N, 3)
+        wJ1 = J1 * w[:, None, None]
+        wJ2 = J2 * w[:, None, None]
+        H = jnp.zeros((n, n, 3, 3))
+        H = H.at[i1, i1].add(p_einsum("eri,erj->eij", wJ1, J1))
+        H = H.at[i2, i2].add(p_einsum("eri,erj->eij", wJ2, J2))
+        H = H.at[i1, i2].add(p_einsum("eri,erj->eij", wJ1, J2))
+        H = H.at[i2, i1].add(p_einsum("eri,erj->eij", wJ2, J1))
+        g = jnp.zeros((n, 3))
+        g = g.at[i1].add(p_einsum("eri,er->ei", wJ1, r))
+        g = g.at[i2].add(p_einsum("eri,er->ei", wJ2, r))
+
+        quad = 0.5 * nrm**2
+        lin = k * (nrm - 0.5 * k)
+        rho = jnp.where(nrm <= k, quad, lin) if k > 0 else quad
+        cost = jnp.sum(edge_weight * rho)
+        return cost, H, g
+
+    def step(carry, _):
+        wRi, lam, cost = carry
+        _, H, g = cost_and_system(wRi)
+        Hd = H.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+        Hd = Hd + lam * jnp.diag(jnp.diag(Hd)) + (lam + 1e-8) * jnp.eye(3 * n)
+        # gauge: anchor node 0 (H singular otherwise up to global rotation)
+        delta = jax.scipy.linalg.solve(Hd, -g.reshape(-1), assume_a="pos").reshape(n, 3)
+        delta = delta.at[0].set(0.0)
+        cand = mm(wRi, so3.expmap(delta))
+        new_cost, _, _ = cost_and_system(cand)
+        accept = new_cost < cost
+        wRi_next = jnp.where(accept, cand, wRi)
+        lam_next = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e6)
+        return (wRi_next, lam_next, jnp.where(accept, new_cost, cost)), cost
+
+    cost0, _, _ = cost_and_system(wRi0)
+    (wRi_f, _, _), _ = jax.lax.scan(
+        step, (wRi0, jnp.asarray(opts.init_lambda), cost0), None, length=opts.max_iterations
+    )
+    return wRi_f
+
+
+class RotationAveraging:
+    """Global rotation averaging (drop-in for the reference's Shonan stage).
+
+    run(num_images, edges, i2Ri1, num_inliers) -> (wRi [N,3,3], valid [N])
+    Cameras with no edges get valid=False and identity rotation; callers
+    prune to the largest connected component first (as the reference's MVO
+    does, multi_view_optimizer.py:175-177).
+    """
+
+    def __init__(self, options: RotationAveragingOptions = RotationAveragingOptions()):
+        self.options = options
+
+    def run(
+        self,
+        num_images: int,
+        edges: np.ndarray,
+        i2Ri1: np.ndarray,
+        num_inliers: np.ndarray | None = None,
+        edge_mask: np.ndarray | None = None,
+    ):
+        edges = np.asarray(edges, np.int32)
+        E = len(edges)
+        if E == 0:
+            return np.tile(np.eye(3, dtype=np.float32), (num_images, 1, 1)), np.zeros(
+                num_images, bool
+            )
+        if edge_mask is None:
+            edge_mask = np.ones(E, bool)
+        if num_inliers is None or not self.options.weight_by_inliers:
+            w = edge_mask.astype(np.float32)
+        else:
+            # inverse-#inlier sigma => weight proportional to #inliers
+            # (shonan.py:92-95 uses sigma = 1/num_inliers)
+            w = edge_mask * np.asarray(num_inliers, np.float32)
+            w = w / max(w.max(), 1e-9)
+
+        valid = np.zeros(num_images, bool)
+        np.logical_or.at(valid, edges[edge_mask][:, 0], True)
+        np.logical_or.at(valid, edges[edge_mask][:, 1], True)
+
+        anchor = int(np.argmax(valid))
+        wRi0 = chordal_init(
+            num_images, jnp.asarray(edges), jnp.asarray(i2Ri1, jnp.float32), jnp.asarray(w),
+            anchor=anchor,
+        )
+        wRi = _refine(
+            num_images, wRi0, jnp.asarray(edges), jnp.asarray(i2Ri1, jnp.float32),
+            jnp.asarray(w), self.options,
+        )
+        wRi_np = np.asarray(wRi)
+        wRi_np[~valid] = np.eye(3)
+        return wRi_np, valid

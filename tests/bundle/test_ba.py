@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.bundle.ba import BAOptions, BundleAdjustment
+from gtsfm_tpu.geometry import SE3
+from tests.common.test_sfm_data import make_synthetic_scene
+
+
+def _perturb(data, pose_sigma=0.02, point_sigma=0.05, seed=0, n_anchors=1):
+    rng = np.random.default_rng(seed)
+    xi = rng.normal(0, pose_sigma, size=(data.max_cameras, 6)).astype(np.float32)
+    # keep anchor cameras at ground truth (they may be frozen by the test)
+    xi[:n_anchors] = 0
+    new_poses = data.poses.retract(jnp.asarray(xi))
+    pts = np.asarray(data.points) + rng.normal(0, point_sigma, size=(data.max_tracks, 3)).astype(
+        np.float32
+    )
+    return data.replace(poses=new_poses, points=jnp.asarray(pts))
+
+
+def _masked_errors(data):
+    err = np.asarray(data.reprojection_errors())
+    m = np.asarray(data.meas_mask)
+    return err[m]
+
+
+def test_ba_reduces_cost_on_perturbed_scene():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=50)
+    noisy = _perturb(gt)
+    assert np.mean(_masked_errors(noisy)) > 1.0
+    ba = BundleAdjustment(BAOptions(max_iterations=25, cg_iterations=30, robust_huber_px=0.0))
+    fixed = jnp.zeros(5, bool).at[0].set(True)
+    opt, metrics = ba.run(noisy, fixed_cam=fixed)
+    errs = _masked_errors(opt)
+    assert metrics["final_cost"] < metrics["initial_cost"] * 1e-3
+    assert np.mean(errs) < 0.05, f"mean reproj {np.mean(errs)}"
+
+
+def test_ba_recovers_poses_up_to_gauge():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=60)
+    noisy = _perturb(gt, pose_sigma=0.03, point_sigma=0.1, seed=1, n_anchors=2)
+    ba = BundleAdjustment(BAOptions(max_iterations=30, cg_iterations=40))
+    fixed = jnp.zeros(5, bool).at[0].set(True).at[1].set(True)  # full gauge fix
+    opt, _ = ba.run(noisy, fixed_cam=fixed)
+    # camera centers should match GT closely (gauge fully fixed by 2 cameras)
+    t_err = np.abs(np.asarray(opt.poses.t) - np.asarray(gt.poses.t)).max()
+    assert t_err < 0.02, f"pose center err {t_err}"
+
+
+def test_ba_huber_downweights_outliers():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=50)
+    noisy = _perturb(gt, pose_sigma=0.01, point_sigma=0.02, seed=2)
+    uv = np.asarray(noisy.meas_uv).copy()
+    uv[::29] += 80.0  # gross outliers in ~3% of measurements
+    noisy = noisy.replace(meas_uv=jnp.asarray(uv))
+    fixed = jnp.zeros(5, bool).at[0].set(True)
+    robust = BundleAdjustment(BAOptions(max_iterations=30, robust_huber_px=2.0))
+    opt_r, _ = robust.run(noisy, fixed_cam=fixed)
+    errs = _masked_errors(opt_r)
+    inlier_errs = np.delete(errs, slice(None, None, 29))
+    # Huber keeps a linear tail, so outliers retain slight pull; the key
+    # property is inliers converge near-perfectly while outliers stay huge.
+    assert np.median(inlier_errs) < 0.25
+    assert np.min(errs[::29]) > 50.0
+
+
+def test_ba_fixed_cameras_do_not_move():
+    gt = make_synthetic_scene(n_cams=4, n_tracks=30)
+    noisy = _perturb(gt, seed=3)
+    fixed = jnp.asarray([True, False, False, True])
+    ba = BundleAdjustment(BAOptions(max_iterations=10))
+    opt, _ = ba.run(noisy, fixed_cam=fixed)
+    np.testing.assert_allclose(
+        np.asarray(opt.poses.t)[[0, 3]], np.asarray(noisy.poses.t)[[0, 3]], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt.poses.R)[[0, 3]], np.asarray(noisy.poses.R)[[0, 3]], atol=1e-6
+    )
+
+
+def test_ba_optimize_intrinsics():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=60)
+    # corrupt focal lengths by 3%
+    bad_cal = gt.cal.replace(f=gt.cal.f * 1.03)
+    noisy = gt.replace(cal=bad_cal)  # poses/points at GT, cams 0-1 frozen
+    fixed = jnp.zeros(5, bool).at[0].set(True).at[1].set(True)
+    ba = BundleAdjustment(BAOptions(max_iterations=40, optimize_intrinsics=True))
+    opt, metrics = ba.run(noisy, fixed_cam=fixed)
+    f_rec = np.asarray(opt.cal.f)
+    # frozen cameras keep their (corrupted) intrinsics; free cameras should
+    # move back toward the true focal 500 (within the focal/distortion
+    # near-degeneracy of small synthetic scenes)
+    np.testing.assert_allclose(f_rec[:2], 515.0, atol=1e-4)
+    assert np.all(np.abs(f_rec[2:] - 500.0) < 10.0)
+    assert np.mean(_masked_errors(opt)) < 0.5
+
+
+def test_ba_staged_filtering():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=50)
+    noisy = _perturb(gt, pose_sigma=0.01, point_sigma=0.02, seed=4)
+    uv = np.asarray(noisy.meas_uv).copy()
+    uv[5] += 300.0
+    noisy = noisy.replace(meas_uv=jnp.asarray(uv))
+    fixed = jnp.zeros(5, bool).at[0].set(True)
+    ba = BundleAdjustment(BAOptions(max_iterations=15, robust_huber_px=2.0))
+    opt, stage_metrics = ba.run_staged(noisy, reproj_thresholds=(10.0, 5.0, 3.0), fixed_cam=fixed)
+    assert len(stage_metrics) == 3
+    # the corrupted measurement must be filtered out
+    assert not bool(np.asarray(opt.meas_mask)[5])
+    errs = _masked_errors(opt)
+    assert np.all(errs < 3.0)
+
+
+def test_ba_handles_padding():
+    gt = make_synthetic_scene(n_cams=4, n_tracks=20)
+    # add padding: extra dead tracks and measurements
+    from gtsfm_tpu.common.sfm_data import SfmData
+
+    padded = SfmData(
+        poses=gt.poses,
+        cal=gt.cal,
+        pose_mask=gt.pose_mask,
+        points=jnp.concatenate([gt.points, jnp.zeros((10, 3))]),
+        track_mask=jnp.concatenate([gt.track_mask, jnp.zeros(10, bool)]),
+        meas_cam=jnp.concatenate([gt.meas_cam, jnp.zeros(7, jnp.int32)]),
+        meas_track=jnp.concatenate([gt.meas_track, jnp.zeros(7, jnp.int32)]),
+        meas_uv=jnp.concatenate([gt.meas_uv, jnp.zeros((7, 2))]),
+        meas_mask=jnp.concatenate([gt.meas_mask, jnp.zeros(7, bool)]),
+        meta=gt.meta,
+    )
+    noisy = _perturb(padded, seed=5)
+    fixed = jnp.zeros(4, bool).at[0].set(True)
+    ba = BundleAdjustment(BAOptions(max_iterations=20))
+    opt, metrics = ba.run(noisy, fixed_cam=fixed)
+    assert metrics["final_cost"] < metrics["initial_cost"] * 1e-2
+    assert not np.any(np.isnan(np.asarray(opt.points)))
