@@ -36,6 +36,10 @@ class RotationAveragingOptions(NamedTuple):
     robust_huber_rad: float = 0.1  # ~5.7 deg
     init_lambda: float = 1e-6
     weight_by_inliers: bool = True
+    # after the first refine, drop edges whose residual exceeds this and
+    # refine again (0 = disabled) — outlier edges otherwise bias the mean
+    # even under Huber
+    rerefine_reject_deg: float = 10.0
 
 
 def chordal_init(
@@ -88,12 +92,12 @@ def chordal_init(
     H_red = H_red + 1e-6 * jnp.eye(H_red.shape[0])
     Y = jax.scipy.linalg.solve(H_red, B, assume_a="pos")  # (3(n-1), 3)
 
-    Xt = jnp.zeros((n, 3, 3))
-    Xt = Xt.at[anchor].set(jnp.eye(3))
-    Xt = Xt.at[idx].set(Y.reshape(n - 1, 3, 3).transpose(0, 2, 1))
-    # Xt rows hold y vectors: Xt[i] = [y^0_i; y^1_i; y^2_i] as rows -> this IS
-    # wRi^T with columns y_c. So wRi = transpose, then project.
-    R = jnp.swapaxes(Xt, -1, -2)
+    # Block i of the solution stacks [y^0_i | y^1_i | y^2_i] as columns,
+    # which is exactly Y_i = wRi^T; so wRi = Y_i^T, then project to SO(3).
+    Yt = jnp.zeros((n, 3, 3))
+    Yt = Yt.at[anchor].set(jnp.eye(3))
+    Yt = Yt.at[idx].set(Y.reshape(n - 1, 3, 3))
+    R = jnp.swapaxes(Yt, -1, -2)
     return so3.project(R)
 
 
@@ -219,10 +223,15 @@ class RotationAveraging:
             num_images, jnp.asarray(edges), jnp.asarray(i2Ri1, jnp.float32), jnp.asarray(w),
             anchor=anchor,
         )
-        wRi = _refine(
-            num_images, wRi0, jnp.asarray(edges), jnp.asarray(i2Ri1, jnp.float32),
-            jnp.asarray(w), self.options,
-        )
-        wRi_np = np.asarray(wRi)
+        edges_j = jnp.asarray(edges)
+        R_j = jnp.asarray(i2Ri1, jnp.float32)
+        wRi = _refine(num_images, wRi0, edges_j, R_j, jnp.asarray(w), self.options)
+        if self.options.rerefine_reject_deg > 0:
+            res = _edge_residual(wRi[edges_j[:, 0]], wRi[edges_j[:, 1]], R_j)
+            ang = np.degrees(np.linalg.norm(np.asarray(res), axis=-1))
+            w2 = w * (ang <= self.options.rerefine_reject_deg)
+            if w2.sum() >= num_images - 1 and (w2 > 0).sum() < (w > 0).sum():
+                wRi = _refine(num_images, wRi, edges_j, R_j, jnp.asarray(w2), self.options)
+        wRi_np = np.array(wRi)
         wRi_np[~valid] = np.eye(3)
         return wRi_np, valid

