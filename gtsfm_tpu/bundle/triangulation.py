@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from gtsfm_tpu.geometry import SE3
-from gtsfm_tpu.utils.numerics import einsum as p_einsum
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, nullvec_pinned
 
 
 class TriangulationMode(enum.Enum):
@@ -43,15 +43,7 @@ def _dlt_rows(poses_cw_R, poses_cw_t, xy):
     return jnp.concatenate([rows_u, rows_v], axis=0)  # (2K, 4)
 
 
-def triangulate_dlt(wTi: SE3, xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """DLT triangulation of one track.
-
-    wTi: SE3 with batch (K,) — cameras observing the track.
-    xy:  (K, 2) *normalized* (calibrated) image coords.
-    mask:(K,) validity.
-    Returns world point (3,). With <2 valid views the result is meaningless
-    (callers mask on cheirality/validity downstream).
-    """
+def _dlt_normal_matrix(wTi: SE3, xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     cTw = wTi.inverse()
     A = _dlt_rows(cTw.R, cTw.t, xy)  # (2K, 4)
     m2 = jnp.concatenate([mask, mask]).astype(A.dtype)
@@ -59,12 +51,36 @@ def triangulate_dlt(wTi: SE3, xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     # row normalization improves conditioning
     norms = jnp.linalg.norm(A, axis=-1, keepdims=True)
     A = A / jnp.where(norms < 1e-12, 1.0, norms)
-    AtA = p_einsum("ki,kj->ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    X_h = vecs[:, 0]
+    return p_einsum("ki,kj->ij", A, A)
+
+
+def _dehomogenize(X_h: jnp.ndarray) -> jnp.ndarray:
     w = X_h[3]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     return X_h[:3] / w_safe
+
+
+def triangulate_dlt(wTi: SE3, xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact DLT triangulation of one track (eigh of the 4x4 normal matrix).
+
+    wTi: SE3 with batch (K,) — cameras observing the track.
+    xy:  (K, 2) *normalized* (calibrated) image coords.
+    mask:(K,) validity.
+    Returns world point (3,). With <2 valid views the result is meaningless
+    (callers mask on cheirality/validity downstream).
+    """
+    AtA = _dlt_normal_matrix(wTi, xy, mask)
+    _, vecs = jnp.linalg.eigh(AtA)
+    return _dehomogenize(vecs[:, 0])
+
+
+def triangulate_dlt_fast(wTi: SE3, xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Hypothesis-grade DLT via pinned-coordinate nullvector (closed-form
+    3x3 adjugate solve) — avoids the slow batched eigh on TPU inside the
+    per-hypothesis vmap (see utils.numerics.nullvec_pinned rationale).
+    Pinning X_h[3] = 1 doubles as dehomogenization."""
+    AtA = _dlt_normal_matrix(wTi, xy, mask)
+    return _dehomogenize(nullvec_pinned(AtA))
 
 
 def _reproj_and_depth(wTi: SE3, X: jnp.ndarray):
@@ -132,7 +148,7 @@ def triangulate_track_ransac(
     def score_hypothesis(pair):
         i, j = pair[0], pair[1]
         two_mask = jnp.zeros(K, bool).at[i].set(True).at[j].set(True) & mask
-        X = triangulate_dlt(wTi, xy, two_mask)
+        X = triangulate_dlt_fast(wTi, xy, two_mask)
         xy_hat, depth = _reproj_and_depth(wTi, X)
         err = jnp.linalg.norm(xy_hat - xy, axis=-1)
         inl = mask & (depth > 0) & (err < reproj_threshold)

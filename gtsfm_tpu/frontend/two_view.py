@@ -1,0 +1,135 @@
+"""Two-view estimation: the per-pair unit, batched over the pair axis.
+
+Parity: /root/reference/gtsfm/two_view_estimator.py:350-481 (run_2view:
+verify -> optional 2-view BA -> inlier-support filter -> report) and
+/root/reference/gtsfm/frontend/inlier_support_processor.py:19-80.
+
+TPU-first re-design: where the reference submits one Dask task per pair,
+here ALL pairs are a single padded batch [P, ...] processed by one jitted,
+vmapped function — the pair axis is the data-parallel axis that pjit
+shards across devices (see gtsfm_tpu.parallel). The 2-view BA step is a
+vmapped fixed-iteration Gauss-Newton on the essential manifold (rotation
+tangent + translation-direction tangent) minimizing Huber-weighted Sampson
+error — the first-order-equivalent of the reference's triangulate+LM BA,
+with identical inputs/outputs and no per-pair host roundtrips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gtsfm_tpu.frontend.matchers.mutual_nn import match_descriptors
+from gtsfm_tpu.frontend.verifiers.essential import (
+    RansacOptions,
+    _refine_essential,
+    _sampson_error,
+    ransac_essential,
+    recover_pose_from_essential,
+)
+from gtsfm_tpu.geometry import so3
+from gtsfm_tpu.utils.numerics import mm
+
+
+class TwoViewOptions(NamedTuple):
+    ransac: RansacOptions = RansacOptions()
+    threshold_px: float = 4.0  # matches unified.yaml estimation_threshold_px
+    matching_ratio: float = 0.8
+    # the verifier's final GN polish already performs the essential-manifold
+    # refinement (the 2-view BA equivalent); this re-runs it on the final
+    # inlier set for extra accuracy at small cost
+    run_two_view_ba: bool = True
+    ba_iterations: int = 6
+    ba_huber: float = 2.0  # multiples of the sampson threshold
+    # inlier support processor (inlier_support_processor.py:19-80 defaults)
+    min_num_inliers: int = 15
+    min_inlier_ratio: float = 0.1
+
+
+@struct.dataclass
+class TwoViewResult:
+    """Batched over pairs [P, ...]. Parity: products/two_view_result.py:17."""
+
+    i2Ri1: jnp.ndarray  # [P, 3, 3]
+    i2Ui1: jnp.ndarray  # [P, 3]
+    # correspondence indices into each image's keypoint list
+    corr_i1: jnp.ndarray  # i32[P, M]
+    corr_i2: jnp.ndarray  # i32[P, M]
+    corr_mask: jnp.ndarray  # bool[P, M] verified inlier correspondences
+    num_matches: jnp.ndarray  # i32[P] putative matches
+    num_inliers: jnp.ndarray  # i32[P]
+    inlier_ratio: jnp.ndarray  # f32[P]
+    valid: jnp.ndarray  # bool[P] passed verification + inlier support
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def run_two_view_batch(
+    kp_xy1: jnp.ndarray,  # [P, K, 2] pixel coords image i1 of each pair
+    kp_xy2: jnp.ndarray,  # [P, K, 2]
+    desc1: jnp.ndarray,  # [P, K, D]
+    desc2: jnp.ndarray,  # [P, K, D]
+    kp_mask1: jnp.ndarray,  # [P, K]
+    kp_mask2: jnp.ndarray,  # [P, K]
+    cal1,  # batched calibration [P]
+    cal2,  # batched calibration [P]
+    pair_mask: jnp.ndarray,  # [P] valid pairs
+    key: jax.Array,
+    opts: TwoViewOptions = TwoViewOptions(),
+) -> TwoViewResult:
+    """The batched two-view forward pass. All shapes static; vmapped over P."""
+    P, K, _ = kp_xy1.shape
+    keys = jax.random.split(key, P)
+
+    def one_pair(xy1, xy2, d1, d2, m1, m2, c1, c2, pm, k):
+        midx, mmask, _ = match_descriptors(d1, d2, m1, m2, ratio=opts.matching_ratio)
+        # correspondence arrays aligned to image-1 keypoints
+        corr_i1 = jnp.arange(K, dtype=jnp.int32)
+        corr_i2 = jnp.where(mmask, midx, 0)
+        uv1 = xy1
+        uv2 = xy2[corr_i2]
+        cmask = mmask & pm
+
+        x1 = c1.calibrate(uv1)
+        x2 = c2.calibrate(uv2)
+        f_mean = 0.5 * (jnp.mean(jnp.atleast_1d(c1.fx)) + jnp.mean(jnp.atleast_1d(c2.fx)))
+        thresh = opts.threshold_px / jnp.maximum(f_mean, 1e-6)
+
+        out = ransac_essential(x1, x2, cmask, k, threshold=thresh, opts=opts.ransac)
+        R, t = out["i2Ri1"], out["i2Ui1"]
+        inl = out["inliers"]
+
+        if opts.run_two_view_ba:
+            R, t = _refine_essential(
+                x1, x2, inl.astype(x1.dtype), R, t, opts.ba_iterations, opts.ba_huber, thresh
+            )
+            E = mm(so3.hat(t), R)
+            err = _sampson_error(E, x1, x2)
+            inl = cmask & (err < thresh**2)
+            # re-pick pose sign by cheirality after refinement
+            R, t = recover_pose_from_essential(E, x1, x2, inl.astype(x1.dtype))
+
+        n_match = jnp.sum(cmask)
+        n_inl = jnp.sum(inl)
+        ratio = n_inl / jnp.maximum(n_match, 1)
+        valid = (
+            out["success"]
+            & pm
+            & (n_inl >= opts.min_num_inliers)
+            & (ratio >= opts.min_inlier_ratio)
+        )
+        return (
+            R, t, corr_i1, corr_i2, inl & valid, n_match.astype(jnp.int32),
+            n_inl.astype(jnp.int32), ratio, valid,
+        )
+
+    res = jax.vmap(one_pair)(
+        kp_xy1, kp_xy2, desc1, desc2, kp_mask1, kp_mask2, cal1, cal2, pair_mask, keys
+    )
+    return TwoViewResult(
+        i2Ri1=res[0], i2Ui1=res[1], corr_i1=res[2], corr_i2=res[3], corr_mask=res[4],
+        num_matches=res[5], num_inliers=res[6], inlier_ratio=res[7], valid=res[8],
+    )

@@ -1,0 +1,325 @@
+"""Essential-matrix estimation: vmapped fixed-iteration 8-point RANSAC
+with locally-optimized refits and cheirality-based pose recovery.
+
+Parity: /root/reference/gtsfm/frontend/verifier/ransac.py (OpenCV USAC
+5-point essential RANSAC, 0.999999 success prob, 1e6 max iters) and
+/root/reference/gtsfm/utils/verification.py (E -> relative pose recovery).
+
+TPU-first re-design: data-dependent early-exit RANSAC becomes a static
+H-hypothesis batch (all hypotheses scored in parallel via one vmap; masked
+argmax replaces early exit), followed by fixed LO refit rounds on the
+running inlier set. The 8-point solve is an eigh of a 9x9 normal matrix —
+batched tiny eigendecompositions, ideal vmap fodder. The 5-point minimal
+solver (Nister) can slot in behind the same interface later; with H large
+the 8-point sampler matches USAC quality on SfM-scale inlier ratios.
+
+Conventions (match the reference):
+  correspondence k: uv1[k] in image i1, uv2[k] in image i2
+  E satisfies  x2^T E x1 = 0  for normalized homogeneous x
+  recovered pose is i2Ti1 = (i2Ri1, i2Ui1): x2 = R x1 + t (unit-norm t)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gtsfm_tpu.geometry import SE3, so3
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, mm, nullvec_pinned
+
+
+class RansacOptions(NamedTuple):
+    num_hypotheses: int = 512
+    lo_rounds: int = 3  # local-optimization refits on the inlier set
+    min_inliers: int = 8
+    polish_iterations: int = 8  # final GN polish on the essential manifold
+    polish_huber: float = 2.0
+
+
+def _normal_matrix(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Row-normalized 8-point normal matrix A^T A (9, 9)."""
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)  # (K, 3)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    # A row: kron ordered so that A @ vec(E) = sum E_ij p2_i p1_j
+    A = (p2[:, :, None] * p1[:, None, :]).reshape(-1, 9)  # (K, 9)
+    # row normalization: conditions the spectrum for the power solver
+    nrm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.maximum(nrm, 1e-12)
+    Aw = A * w[:, None]
+    return p_einsum("ki,kj->ij", Aw, A)
+
+
+def _project_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the essential manifold: singular values (1, 1, 0)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    S = jnp.array([1.0, 1.0, 0.0], E.dtype)
+    return mm(U * S[None, :], Vt)
+
+
+def _eight_point_fast(x1, x2, w) -> jnp.ndarray:
+    """Hypothesis-grade 8-point: pinned-coordinate nullvector solve, NO
+    manifold projection (Sampson scoring tolerates both; LO refits are
+    exact eigh + projection)."""
+    AtA = _normal_matrix(x1, x2, w)
+    e = nullvec_pinned(AtA)
+    return e.reshape(3, 3)
+
+
+def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Exact weighted 8-point with essential-manifold projection (used for
+    LO refits and finals — small batches where eigh cost is fine)."""
+    AtA = _normal_matrix(x1, x2, w)
+    _, vecs = jnp.linalg.eigh(AtA)
+    return _project_essential(vecs[:, 0].reshape(3, 3))
+
+
+def _sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) error in normalized units, (K,)."""
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    Ex1 = p_einsum("ij,kj->ki", E, p1)  # (K, 3)
+    Etx2 = p_einsum("ji,kj->ki", E, p2)
+    num = jnp.sum(p2 * Ex1, axis=-1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _triangulate_midpoint(R, t, x1, x2):
+    """Cheap 2-view triangulation for cheirality: returns depths (z1, z2).
+
+    Camera 1 at origin; camera 2 with x2 = R x1 + t. Solves the two-ray
+    least-squares depth along each bearing.
+    """
+    f1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    f2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
+    f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
+    Rf1 = p_einsum("ij,kj->ki", R, f1)
+    # solve [Rf1, -f2] [d1; d2] = -t  in least squares per correspondence
+    a = jnp.sum(Rf1 * Rf1, axis=-1)
+    b = -jnp.sum(Rf1 * f2, axis=-1)
+    c = jnp.sum(f2 * f2, axis=-1)
+    rhs1 = -jnp.sum(Rf1 * t[None, :], axis=-1)
+    rhs2 = jnp.sum(f2 * t[None, :], axis=-1)
+    det = a * c - b * b
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    d1 = (c * rhs1 - b * rhs2) / det
+    d2 = (a * rhs2 - b * rhs1) / det
+    z1 = d1 * f1[:, 2]
+    z2 = d2 * f2[:, 2]
+    return z1, z2
+
+
+def recover_pose_from_essential(
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray
+) -> tuple:
+    """Decompose E into the 4 (R, t) candidates; pick by cheirality vote
+    over weighted correspondences. Returns (i2Ri1 (3,3), i2Ui1 (3,)).
+
+    Parity: recover_relative_pose_from_essential_matrix
+    (/root/reference/gtsfm/utils/verification.py).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    Ra = mm(mm(U, W), Vt)
+    Rb = mm(mm(U, W.T), Vt)
+    t = U[:, 2]
+
+    def vote(R, tt):
+        z1, z2 = _triangulate_midpoint(R, tt, x1, x2)
+        return jnp.sum(w * (z1 > 0) * (z2 > 0))
+
+    cands_R = jnp.stack([Ra, Ra, Rb, Rb])
+    cands_t = jnp.stack([t, -t, t, -t])
+    votes = jax.vmap(vote)(cands_R, cands_t)
+    best = jnp.argmax(votes)
+    R_best = cands_R[best]
+    t_best = cands_t[best]
+    t_best = t_best / jnp.maximum(jnp.linalg.norm(t_best), 1e-12)
+    return R_best, t_best
+
+
+def _refine_essential(x1, x2, w, R0, t0, iters: int, huber: float, thresh):
+    """Vmappable GN refinement of (R, t_dir) minimizing Huber Sampson error.
+
+    x1, x2: (K, 2) normalized; w: (K,) inlier weights; R0 (3,3); t0 (3,).
+    Parameterization: R = R0 exp(w_r), t = normalize(t0 + B dt) where B is
+    an orthobasis of t0's tangent plane (5 DOF total — the essential
+    manifold).
+    """
+
+    def make_E(R, t):
+        return mm(so3.hat(t), R)
+
+    def basis(t):
+        # two vectors orthogonal to t
+        a = jnp.where(jnp.abs(t[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+        return jnp.stack([b1, b2], axis=-1)  # (3, 2)
+
+    def residual(params, R, t):
+        wr = params[:3]
+        dt = params[3:]
+        Rn = mm(R, so3.expmap(wr))
+        B = basis(t)
+        tn = t + B @ dt
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        E = make_E(Rn, tn)
+        err2 = _sampson_error(E, x1, x2)
+        return jnp.sqrt(jnp.maximum(err2, 1e-18))  # (K,) first-order geom err
+
+    def step(carry, _):
+        R, t, lam = carry
+        z5 = jnp.zeros(5)
+        r = residual(z5, R, t)
+        J = jax.jacfwd(residual)(z5, R, t)  # (K, 5)
+        k = huber * thresh
+        w_rob = jnp.minimum(1.0, k / jnp.maximum(r, 1e-12))
+        ww = w * w_rob
+        H = (J * ww[:, None]).T @ J + lam * jnp.eye(5) * 10.0 + 1e-9 * jnp.eye(5)
+        g = (J * ww[:, None]).T @ r
+        delta = jnp.linalg.solve(H, -g)
+
+        def cost(params):
+            rr = residual(params, R, t)
+            rho = jnp.where(rr <= k, 0.5 * rr**2, k * (rr - 0.5 * k))
+            return jnp.sum(w * rho)
+
+        accept = cost(delta) < cost(z5)
+        wr = jnp.where(accept, delta[:3], 0.0)
+        dt = jnp.where(accept, delta[3:], 0.0)
+        R_new = mm(R, so3.expmap(wr))
+        B = basis(t)
+        t_new = t + B @ dt
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
+        lam_new = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e4)
+        return (R_new, t_new, lam_new), None
+
+    (R_f, t_f, _), _ = jax.lax.scan(step, (R0, t0, jnp.asarray(1e-3)), None, length=iters)
+    return R_f, t_f
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def ransac_essential(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    threshold: jnp.ndarray | float = 1e-3,
+    opts: RansacOptions = RansacOptions(),
+):
+    """Fixed-iteration essential RANSAC on normalized correspondences.
+
+    x1, x2: (K, 2) normalized coords; mask: (K,) valid correspondences;
+    threshold: Sampson threshold in normalized units (px_thresh / focal).
+
+    Returns dict with i2Ri1 (3,3), i2Ui1 (3,), E (3,3), inliers bool (K,),
+    num_inliers (), success ().
+    """
+    K = x1.shape[0]
+    maskf = mask.astype(x1.dtype)
+    n_valid = jnp.sum(mask)
+    thresh2 = jnp.asarray(threshold) ** 2
+
+    # sample 8-tuples: random weights, top-8 trick for sampling w/o replacement
+    def sample_one(k):
+        scores = jax.random.uniform(k, (K,)) * maskf
+        idx = jax.lax.top_k(scores, 8)[1]
+        w = jnp.zeros(K, x1.dtype).at[idx].set(1.0) * maskf
+        return w
+
+    keys = jax.random.split(key, opts.num_hypotheses)
+    sample_w = jax.vmap(sample_one)(keys)  # (H, K)
+
+    def score(w):
+        E = _eight_point_fast(x1, x2, w)
+        err = _sampson_error(E, x1, x2)
+        inl = mask & (err < thresh2)
+        return jnp.sum(inl), E
+
+    votes, Es = jax.vmap(score)(sample_w)
+    best = jnp.argmax(votes)
+    E_best = Es[best]
+
+    # local optimization: annealed-threshold refits (LO-RANSAC style —
+    # gather with a wide band first, tighten each round)
+    def lo_round(E, mult):
+        err = _sampson_error(E, x1, x2)
+        inl = mask & (err < thresh2 * mult**2)
+        # soft IRLS (Cauchy) weights inside the band: a leaked outlier near
+        # the band edge can no longer poison the refit
+        w_soft = inl.astype(x1.dtype) / (1.0 + err / jnp.maximum(thresh2, 1e-20))
+        E_new = _eight_point(x1, x2, w_soft)
+        # keep refit only if it does not lose final-threshold inliers
+        n_old = jnp.sum(mask & (err < thresh2))
+        err_new = _sampson_error(E_new, x1, x2)
+        n_new = jnp.sum(mask & (err_new < thresh2))
+        better = n_new >= n_old
+        return jnp.where(better, E_new, E), None
+
+    mults = jnp.linspace(2.0, 1.0, opts.lo_rounds) if opts.lo_rounds > 1 else jnp.ones(opts.lo_rounds)
+    # dual-start LO: the raw nullvector hypothesis and its essential-manifold
+    # projection land in slightly different basins; keep the better endpoint
+    E_a, _ = jax.lax.scan(lo_round, E_best, mults)
+    E_b, _ = jax.lax.scan(lo_round, _project_essential(E_best), mults)
+
+    def count(E):
+        return jnp.sum(mask & (_sampson_error(E, x1, x2) < thresh2))
+
+    E_final = jnp.where(count(E_a) >= count(E_b), E_a, E_b)
+    err = _sampson_error(E_final, x1, x2)
+    inliers = mask & (err < thresh2)
+
+    # final GN polish on the essential manifold (5-DOF Sampson minimization)
+    R0, t0 = recover_pose_from_essential(E_final, x1, x2, inliers.astype(x1.dtype))
+    if opts.polish_iterations > 0:
+        thresh = jnp.sqrt(thresh2)
+        R0, t0 = _refine_essential(
+            x1, x2, inliers.astype(x1.dtype), R0, t0,
+            opts.polish_iterations, opts.polish_huber, thresh,
+        )
+        E_final = mm(so3.hat(t0), R0)
+        err = _sampson_error(E_final, x1, x2)
+        inliers = mask & (err < thresh2)
+        R0, t0 = recover_pose_from_essential(E_final, x1, x2, inliers.astype(x1.dtype))
+    num_inliers = jnp.sum(inliers)
+    R, t = R0, t0
+    success = (num_inliers >= opts.min_inliers) & (n_valid >= 8)
+    return {
+        "i2Ri1": R,
+        "i2Ui1": t,
+        "E": E_final,
+        "inliers": inliers,
+        "num_inliers": num_inliers,
+        "success": success,
+    }
+
+
+def ransac_essential_pixels(
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    cal1,
+    cal2,
+    key: jax.Array,
+    threshold_px: float = 4.0,
+    opts: RansacOptions = RansacOptions(),
+):
+    """Pixel-space wrapper: normalizes by intrinsics, converts the pixel
+    threshold with the mean focal (matches the reference's use of focal-
+    normalized USAC thresholds)."""
+    x1 = cal1.calibrate(uv1)
+    x2 = cal2.calibrate(uv2)
+    f_mean = 0.5 * (jnp.mean(jnp.atleast_1d(cal1.fx)) + jnp.mean(jnp.atleast_1d(cal2.fx)))
+    thresh = threshold_px / jnp.maximum(f_mean, 1e-6)
+    return ransac_essential(x1, x2, mask, key, threshold=thresh, opts=opts)
