@@ -1,0 +1,179 @@
+"""Hierarchical cluster merging: Sim(3) alignment + scene union + parent BA.
+
+Parity: /root/reference/gtsfm/cluster_merging.py — Sim3 alignment from
+shared-track correspondences (:73-163), nonlinear Sim3 merge (:164-253),
+track dedup + outlier dropping (:616), parent BA, per-node merged metrics
+(:506), combine_results (:694).
+
+Design: children produced by the partitioner own disjoint camera sets; the
+parent's cut edges provide cross-child keypoint correspondences. Where both
+endpoints of a cut correspondence are absorbed into triangulated tracks of
+their respective children, the two 3D points form a 3D-3D pair; a robust
+(IRLS) Umeyama on those pairs gives the child-to-child Sim3. Scenes are
+then concatenated (cameras disjoint, tracks appended, paired tracks
+merged), and a parent-level BA polishes the union.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.bundle.ba import BAOptions, BundleAdjustment
+from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
+from gtsfm_tpu.geometry import SE3
+from gtsfm_tpu.geometry.sim3 import Sim3, align_points_umeyama
+
+
+class MergeOptions(NamedTuple):
+    min_3d3d_pairs: int = 8
+    irls_iterations: int = 8
+    inlier_threshold_factor: float = 3.0  # x median residual
+    run_parent_ba: bool = True
+    parent_ba: BAOptions = BAOptions(max_iterations=15, cg_iterations=30)
+    parent_reproj_filter_px: float = 5.0
+
+
+def sim3_from_point_pairs(
+    pa: np.ndarray, pb: np.ndarray, opts: MergeOptions = MergeOptions()
+) -> tuple:
+    """Robust Sim3 mapping points b -> frame a via IRLS Umeyama.
+
+    Returns (Sim3, inlier_mask, ok)."""
+    n = len(pa)
+    if n < opts.min_3d3d_pairs:
+        return Sim3.identity(), np.zeros(n, bool), False
+    pa_j = jnp.asarray(pa, jnp.float32)
+    pb_j = jnp.asarray(pb, jnp.float32)
+
+    # LMedS initialization: minimal 4-point Umeyama hypotheses scored by
+    # median residual — a straight IRLS from the full set collapses when
+    # gross outliers dominate the initial unweighted fit
+    rng = np.random.default_rng(0)
+    best_med, best_w = np.inf, np.ones(n, np.float32)
+    for _ in range(min(64, 4 * n)):
+        idx = rng.choice(n, 4, replace=False)
+        w_h = np.zeros(n, np.float32)
+        w_h[idx] = 1.0
+        sim_h = align_points_umeyama(pb_j, pa_j, weights=jnp.asarray(w_h))
+        resid = np.linalg.norm(np.asarray(sim_h.transform(pb_j)) - pa, axis=-1)
+        med = np.median(resid)
+        if med < best_med:
+            best_med = med
+            scale = opts.inlier_threshold_factor * max(med, 1e-9)
+            best_w = (scale**2 / (scale**2 + resid**2)).astype(np.float32)
+
+    w = best_w
+    sim = None
+    for _ in range(opts.irls_iterations):
+        sim = align_points_umeyama(pb_j, pa_j, weights=jnp.asarray(w))
+        resid = np.linalg.norm(np.asarray(sim.transform(pb_j)) - pa, axis=-1)
+        med = max(np.median(resid), 1e-9)
+        scale = opts.inlier_threshold_factor * med
+        w = (scale**2 / (scale**2 + resid**2)).astype(np.float32)
+    resid = np.linalg.norm(np.asarray(sim.transform(pb_j)) - pa, axis=-1)
+    inliers = resid < opts.inlier_threshold_factor * max(np.median(resid), 1e-9)
+    ok = inliers.sum() >= opts.min_3d3d_pairs
+    return sim, inliers, ok
+
+
+def concatenate_scenes(
+    data_a: SfmData,
+    data_b: SfmData,
+    sim_ab: Sim3,
+    merge_track_pairs: Optional[np.ndarray] = None,
+    meta: Optional[SceneMeta] = None,
+) -> SfmData:
+    """Union of two scenes over the SAME global camera index space.
+
+    data_b is transformed into a's frame by sim_ab. Camera slots must be
+    disjoint (pose_mask may not overlap). merge_track_pairs (M, 2) gives
+    (track_a, track_b) duplicates: b's track is fused into a's (b's
+    measurements reassigned, b's point dropped)."""
+    assert data_a.max_cameras == data_b.max_cameras
+    overlap = np.asarray(data_a.pose_mask) & np.asarray(data_b.pose_mask)
+    assert not overlap.any(), "camera sets must be disjoint for concatenation"
+
+    b_moved = data_b.transform(sim_ab)
+
+    # cameras: take a's where masked, else b's
+    mask_a = np.asarray(data_a.pose_mask)
+    sel = jnp.asarray(mask_a)
+    poses = SE3(
+        R=jnp.where(sel[:, None, None], data_a.poses.R, b_moved.poses.R),
+        t=jnp.where(sel[:, None], data_a.poses.t, b_moved.poses.t),
+    )
+    cal = jax.tree.map(
+        lambda xa, xb: jnp.where(
+            sel.reshape((-1,) + (1,) * (xa.ndim - 1)), xa, xb
+        ),
+        data_a.cal,
+        data_b.cal,
+    )
+    pose_mask = jnp.asarray(mask_a | np.asarray(data_b.pose_mask))
+
+    Ta = data_a.max_tracks
+    # remap b's tracks: fused ones point at a's track, others shift by Ta
+    b_track_map = np.arange(data_b.max_tracks, dtype=np.int64) + Ta
+    drop_b_track = np.zeros(data_b.max_tracks, bool)
+    if merge_track_pairs is not None and len(merge_track_pairs):
+        for ta, tb in merge_track_pairs:
+            b_track_map[tb] = ta
+            drop_b_track[tb] = True
+
+    points = jnp.concatenate([data_a.points, b_moved.points])
+    track_mask = jnp.concatenate(
+        [data_a.track_mask, jnp.asarray(np.asarray(data_b.track_mask) & ~drop_b_track)]
+    )
+    meas_cam = jnp.concatenate([data_a.meas_cam, data_b.meas_cam])
+    meas_track = jnp.concatenate(
+        [data_a.meas_track, jnp.asarray(b_track_map[np.asarray(data_b.meas_track)], jnp.int32)]
+    )
+    meas_uv = jnp.concatenate([data_a.meas_uv, data_b.meas_uv])
+    meas_mask = jnp.concatenate([data_a.meas_mask, data_b.meas_mask])
+
+    return SfmData(
+        poses=poses, cal=cal, pose_mask=pose_mask,
+        points=points, track_mask=track_mask,
+        meas_cam=meas_cam, meas_track=meas_track,
+        meas_uv=meas_uv, meas_mask=meas_mask,
+        meta=meta or data_a.meta,
+    )
+
+
+def merge_children(
+    data_a: SfmData,
+    data_b: SfmData,
+    pairs_3d3d: tuple,  # (pa (K,3), pb (K,3), track_a (K,), track_b (K,))
+    opts: MergeOptions = MergeOptions(),
+    meta: Optional[SceneMeta] = None,
+) -> tuple:
+    """Align child b onto child a via 3D-3D pairs, fuse duplicate tracks,
+    optionally run parent BA. Returns (SfmData, metrics dict)."""
+    pa, pb, ta, tb = pairs_3d3d
+    metrics = {"num_3d3d_pairs": len(pa)}
+    sim, inl, ok = sim3_from_point_pairs(np.asarray(pa), np.asarray(pb), opts)
+    metrics["sim3_ok"] = bool(ok)
+    metrics["sim3_inliers"] = int(inl.sum())
+    if not ok:
+        return None, metrics
+    merge_pairs = np.stack([np.asarray(ta)[inl], np.asarray(tb)[inl]], axis=-1)
+    merged = concatenate_scenes(data_a, data_b, sim, merge_track_pairs=merge_pairs, meta=meta)
+    merged = merged.filter_by_reprojection_error(opts.parent_reproj_filter_px * 3)
+    if opts.run_parent_ba:
+        ba = BundleAdjustment(opts.parent_ba)
+        counts = np.bincount(
+            np.asarray(merged.meas_cam)[np.asarray(merged.meas_mask)],
+            minlength=merged.max_cameras,
+        )
+        fixed = np.zeros(merged.max_cameras, bool)
+        fixed[np.argmax(counts)] = True
+        merged, ba_metrics = ba.run(merged, fixed_cam=jnp.asarray(fixed))
+        merged = merged.filter_by_reprojection_error(opts.parent_reproj_filter_px)
+        metrics["parent_ba"] = ba_metrics
+    metrics["merged_tracks"] = merged.number_tracks()
+    metrics["merged_cameras"] = merged.number_images()
+    return merged, metrics

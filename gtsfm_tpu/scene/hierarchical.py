@@ -1,0 +1,189 @@
+"""Hierarchical reconstruction: partition -> per-cluster MVO -> tree merge.
+
+Parity: /root/reference/gtsfm/scene_optimizer.py:180-338 (per-cluster
+scheduling over the cluster tree + submit_tree_map_with_children merge) and
+cluster_merging.combine_results (:694), with drop_child_if_merging_fail
+semantics (cluster_optimizer_base.py:100).
+
+The front-end (detection + two-view over ALL retrieved pairs, including
+future cut edges) runs once as flat device batches; the cluster tree then
+routes edge subsets into independent MVO back-ends, and the bottom-up fold
+aligns children with Sim3 from cross-cluster 3D-3D track pairs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
+from gtsfm_tpu.merging.merge import MergeOptions, merge_children
+from gtsfm_tpu.partitioner.partitioners import BinaryTreePartitioner
+from gtsfm_tpu.products.types import ClusterTree
+from gtsfm_tpu.scene.mvo import MVOOptions, MultiViewOptimizer
+
+
+class HierarchicalOptions(NamedTuple):
+    mvo: MVOOptions = MVOOptions()
+    merge: MergeOptions = MergeOptions()
+    max_depth: int = 3
+    max_cluster_size: int = 40
+    drop_child_if_merging_fail: bool = True
+
+
+class HierarchicalReconstruction:
+    """Runs the partitioned back-end given flat front-end outputs."""
+
+    def __init__(self, options: HierarchicalOptions = HierarchicalOptions()):
+        self.options = options
+
+    def run(
+        self,
+        num_images: int,
+        pairs: np.ndarray,
+        tvr: dict,  # flat two-view outputs (scene_optimizer._run_two_view)
+        keypoints_xy: np.ndarray,
+        cal,
+        meta: Optional[SceneMeta] = None,
+    ) -> tuple:
+        opts = self.options
+        valid = np.asarray(tvr["valid"], bool)
+        edges = np.asarray(pairs, np.int64)
+        part = BinaryTreePartitioner(
+            max_depth=opts.max_depth, max_cluster_size=opts.max_cluster_size
+        )
+        tree = part.run(edges[valid], edge_weights=np.asarray(tvr["num_inliers"])[valid])
+        metrics = {"num_clusters": len(tree.leaves()), "tree_nodes": tree.num_nodes()}
+
+        # map canonical edge -> flat index for routing subsets
+        eindex = {(int(a), int(b)): e for e, (a, b) in enumerate(edges)}
+
+        def edge_subset(sub_edges: np.ndarray) -> np.ndarray:
+            return np.array([eindex[(int(a), int(b))] for a, b in sub_edges], np.int64)
+
+        mvo = MultiViewOptimizer(opts.mvo)
+        cluster_metrics = []
+
+        def run_leaf(node: ClusterTree):
+            sel = edge_subset(node.value)
+            data, m = mvo.run(
+                num_images=num_images,
+                pairs=edges[sel],
+                i2Ri1=np.asarray(tvr["i2Ri1"])[sel],
+                i2Ui1=np.asarray(tvr["i2Ui1"])[sel],
+                pair_valid=valid[sel],
+                num_inliers=np.asarray(tvr["num_inliers"])[sel],
+                corr_i1=np.asarray(tvr["corr_i1"])[sel],
+                corr_i2=np.asarray(tvr["corr_i2"])[sel],
+                corr_mask=np.asarray(tvr["corr_mask"])[sel],
+                keypoints_xy=keypoints_xy,
+                cal=cal,
+                meta=meta,
+            )
+            cluster_metrics.append({k: v for k, v in m.items() if k != "aux"})
+            aux = m.get("aux", {})
+            return None if m.get("failed") else (data, _kp_track_map(aux))
+
+        def fold(node: ClusterTree, child_results):
+            child_results = [c for c in child_results if c is not None]
+            if node.is_leaf or not child_results:
+                if len(node.value):
+                    return run_leaf(node)
+                return child_results[0] if child_results else None
+            if len(child_results) == 1:
+                return child_results[0]
+            # merge children pairwise, using this node's cut-edge
+            # correspondences to find 3D-3D pairs
+            result = child_results[0]
+            for other in child_results[1:]:
+                merged = self._merge_pair(node, result, other, tvr, edges, eindex, meta)
+                if merged is None:
+                    if not opts.drop_child_if_merging_fail:
+                        return None
+                    # keep the larger child
+                    if other[0].number_tracks() > result[0].number_tracks():
+                        result = other
+                    metrics.setdefault("merge_failures", 0)
+                    metrics["merge_failures"] += 1
+                else:
+                    result = merged
+            return result
+
+        final = tree.map_postorder(fold)
+        metrics["cluster_metrics"] = cluster_metrics
+        if final is None:
+            return SfmData.empty(num_images, meta=meta), {**metrics, "failed": True}
+        data, _ = final
+        metrics["num_cameras_final"] = data.number_images()
+        metrics["num_tracks_final"] = data.number_tracks()
+        return data, metrics
+
+    # ------------------------------------------------------------------
+    def _merge_pair(self, node, res_a, res_b, tvr, edges, eindex, meta):
+        data_a, map_a = res_a
+        data_b, map_b = res_b
+        cams_a = set(np.nonzero(np.asarray(data_a.pose_mask))[0].tolist())
+        cams_b = set(np.nonzero(np.asarray(data_b.pose_mask))[0].tolist())
+        if cams_a & cams_b:
+            return None  # overlapping cameras unsupported in concatenation
+
+        pa, pb, ta, tb = [], [], [], []
+        corr_i1 = np.asarray(tvr["corr_i1"])
+        corr_i2 = np.asarray(tvr["corr_i2"])
+        corr_mask = np.asarray(tvr["corr_mask"])
+        pts_a = np.asarray(data_a.points)
+        pts_b = np.asarray(data_b.points)
+        for a_img, b_img in node.value:
+            key = (int(a_img), int(b_img))
+            if key not in eindex:
+                continue
+            e = eindex[key]
+            mm_ = corr_mask[e]
+            for k in np.nonzero(mm_)[0]:
+                kp1, kp2 = int(corr_i1[e, k]), int(corr_i2[e, k])
+                i, j = key
+                # orient: which child owns image i?
+                if i in cams_a and j in cams_b:
+                    t_a = map_a.get((i, kp1))
+                    t_b = map_b.get((j, kp2))
+                elif i in cams_b and j in cams_a:
+                    t_b = map_b.get((i, kp1))
+                    t_a = map_a.get((j, kp2))
+                else:
+                    continue
+                if t_a is None or t_b is None:
+                    continue
+                pa.append(pts_a[t_a])
+                pb.append(pts_b[t_b])
+                ta.append(t_a)
+                tb.append(t_b)
+        if not pa:
+            return None
+        merged, mm = merge_children(
+            data_a, data_b,
+            (np.asarray(pa), np.asarray(pb), np.asarray(ta), np.asarray(tb)),
+            self.options.merge, meta=meta,
+        )
+        if merged is None:
+            return None
+        # rebuild the (image, kp) -> track map for the merged scene
+        new_map = dict(map_a)
+        ta_of_tb = {int(t_b): int(t_a) for t_a, t_b in zip(ta, tb)}
+        offset = data_a.max_tracks
+        for (img, kp), t_b in map_b.items():
+            new_map[(img, kp)] = ta_of_tb.get(int(t_b), int(t_b) + offset)
+        return merged, new_map
+
+
+def _kp_track_map(aux: dict) -> dict:
+    """(image, keypoint) -> track index lookup from MVO aux arrays."""
+    out = {}
+    if not aux:
+        return out
+    mc = aux["meas_cam"]
+    mk = aux["meas_kp"]
+    mt = aux["meas_track"]
+    for c, k, t in zip(mc, mk, mt):
+        out[(int(c), int(k))] = int(t)
+    return out

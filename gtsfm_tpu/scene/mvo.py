@@ -169,6 +169,7 @@ class MultiViewOptimizer:
         T = len(points)
         obs_t, obs_k = np.nonzero(tri_inliers & tri_ok[:, None])
         meas_cam = track_cam[obs_t, obs_k].astype(np.int32)
+        meas_kp = track_kp[obs_t, obs_k].astype(np.int32)
         meas_uv = track_uv[obs_t, obs_k]
         data = SfmData(
             poses=poses,
@@ -210,4 +211,11 @@ class MultiViewOptimizer:
             metrics["reproj_error_median_px"] = float(np.median(err[msk]))
             metrics["reproj_error_mean_px"] = float(np.mean(err[msk][np.isfinite(err[msk])]))
         metrics["total_sec"] = time.perf_counter() - t_start
+        # aux arrays for hierarchical merging: per-measurement keypoint ids
+        # let (image, keypoint) -> track lookups across clusters
+        metrics["aux"] = {
+            "meas_kp": meas_kp,
+            "meas_cam": np.asarray(meas_cam),
+            "meas_track": np.asarray(obs_t.astype(np.int32)),
+        }
         return data, metrics
