@@ -41,8 +41,19 @@ class BAOptions(NamedTuple):
     max_iterations: int = 30
     cg_iterations: int = 40
     robust_huber_px: float = 1.345  # Huber threshold in pixels (0 = disabled)
+    # "huber" = IRLS Huber; "gnc_gm" = graduated non-convexity with the
+    # Geman-McClure loss (parity: GncLMOptimizer, bundle_adjustment.py:359-372)
+    robust_mode: str = "huber"
+    gnc_mu_init: float = 64.0
+    gnc_gamma: float = 0.5  # mu <- mu * gamma each outer iteration, floor 1
     optimize_intrinsics: bool = False
+    # project per-camera intrinsics deltas onto their mean each step
+    # (block-Jacobi treatment of the shared-calibration variable; parity:
+    # shared calibration mode, bundle_adjustment.py:33-35)
     shared_intrinsics: bool = False
+    # absolute pose priors: soft SE3 priors with scalar weight (parity:
+    # pose priors, bundle_adjustment.py:218-254)
+    pose_prior_weight: float = 0.0
     init_lambda: float = 1e-4
     min_lambda: float = 1e-10
     max_lambda: float = 1e8
@@ -109,15 +120,22 @@ def _residuals(prob: BAProblem) -> tuple:
     return uv_hat - prob.meas_uv, depth
 
 
-def _robust_weights(r: jnp.ndarray, depth: jnp.ndarray, base_w, huber_px, sigma):
-    """IRLS Huber weights on the 2D residual norm; behind-camera => 0."""
+def _robust_weights(r, depth, base_w, opts: "BAOptions", mu):
+    """IRLS robust weights on the 2D residual norm; behind-camera => 0.
+
+    huber: w = min(1, k/|r|);  gnc_gm (Geman-McClure under GNC): the
+    graduated weight (mu c^2 / (r^2 + mu c^2))^2 with mu annealed toward 1.
+    """
     nrm = jnp.linalg.norm(r, axis=-1)
-    if huber_px > 0:
-        w_rob = jnp.minimum(1.0, huber_px / jnp.maximum(nrm, 1e-12))
+    k = opts.robust_huber_px
+    if opts.robust_mode == "gnc_gm" and k > 0:
+        c2 = k * k
+        w_rob = (mu * c2 / (nrm**2 + mu * c2)) ** 2
+    elif k > 0:
+        w_rob = jnp.minimum(1.0, k / jnp.maximum(nrm, 1e-12))
     else:
         w_rob = jnp.ones_like(nrm)
-    w = base_w * w_rob * (depth > 1e-6) / (sigma**2)
-    return w
+    return base_w * w_rob * (depth > 1e-6) / (opts.measurement_sigma_px**2)
 
 
 def _jacobians(prob: BAProblem, optimize_intrinsics: bool):
@@ -231,12 +249,19 @@ def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam
     return delta_c, delta_p
 
 
-def _apply_step(prob: BAProblem, delta_c, delta_p, optimize_intrinsics: bool) -> BAProblem:
+def _apply_step(prob: BAProblem, delta_c, delta_p, opts: "BAOptions") -> BAProblem:
     free = (~prob.fixed_cam)[:, None].astype(delta_c.dtype)
     d_pose = delta_c[:, :6] * free
     new_poses = prob.poses.retract(d_pose)
-    if optimize_intrinsics:
-        new_cal = prob.cal_params + delta_c[:, 6:] * free
+    if opts.optimize_intrinsics:
+        d_cal = delta_c[:, 6:] * free
+        if opts.shared_intrinsics:
+            # project onto the shared subspace: identical delta everywhere
+            denom = jnp.maximum(jnp.sum(free), 1.0)
+            d_cal = jnp.broadcast_to(
+                jnp.sum(d_cal, axis=0, keepdims=True) / denom, d_cal.shape
+            ) * free
+        new_cal = prob.cal_params + d_cal
     else:
         new_cal = prob.cal_params
     return prob.replace(poses=new_poses, cal_params=new_cal, points=prob.points + delta_p)
@@ -247,7 +272,10 @@ def _cost(prob: BAProblem, opts: BAOptions) -> jnp.ndarray:
     nrm = jnp.linalg.norm(r, axis=-1)
     base = prob.meas_w * (depth > 1e-6)
     k = opts.robust_huber_px
-    if k > 0:
+    if opts.robust_mode == "gnc_gm" and k > 0:
+        c2 = k * k
+        rho = 0.5 * c2 * nrm**2 / (nrm**2 + c2)  # Geman-McClure
+    elif k > 0:
         quad = 0.5 * nrm**2
         lin = k * (nrm - 0.5 * k)
         rho = jnp.where(nrm <= k, quad, lin)
@@ -261,16 +289,17 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
     n_cam = prob.fixed_cam.shape[0]
     n_track = prob.points.shape[0]
 
-    def step(carry, _):
+    def step(carry, it):
         prob, lam, cost = carry
+        mu = jnp.maximum(opts.gnc_mu_init * opts.gnc_gamma**it, 1.0)
         r, depth = _residuals(prob)
-        w = _robust_weights(r, depth, prob.meas_w, opts.robust_huber_px, opts.measurement_sigma_px)
+        w = _robust_weights(r, depth, prob.meas_w, opts, mu)
         J_c, J_p = _jacobians(prob, opts.optimize_intrinsics)
         delta_c, delta_p = _schur_solve(
             J_c, J_p, r, w, prob.meas_cam, prob.meas_track,
             n_cam, n_track, prob.fixed_cam, lam, opts.cg_iterations,
         )
-        cand = _apply_step(prob, delta_c, delta_p, opts.optimize_intrinsics)
+        cand = _apply_step(prob, delta_c, delta_p, opts)
         new_cost = _cost(cand, opts)
         accept = new_cost < cost
         prob_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), prob, cand)
@@ -283,8 +312,8 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
 
     cost0 = _cost(prob, opts)
     (prob_f, _, cost_f), cost_hist = jax.lax.scan(
-        step, (prob, jnp.asarray(opts.init_lambda, jnp.float32), cost0), None,
-        length=opts.max_iterations,
+        step, (prob, jnp.asarray(opts.init_lambda, jnp.float32), cost0),
+        jnp.arange(opts.max_iterations),
     )
     return prob_f, cost0, cost_f, cost_hist
 

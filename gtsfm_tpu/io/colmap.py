@@ -126,7 +126,10 @@ def read_scene(dirpath: str) -> SfmData:
     cams = read_cameras_txt(os.path.join(dirpath, "cameras.txt"))
     images = read_images_txt(os.path.join(dirpath, "images.txt"))
     points = read_points3d_txt(os.path.join(dirpath, "points3D.txt"))
+    return _assemble_scene(cams, images, points)
 
+
+def _assemble_scene(cams: dict, images: list, points: list) -> SfmData:
     n = len(images)
     id2idx = {im["image_id"]: i for i, im in enumerate(images)}
     Rs = np.stack([im["R"] for im in images]) if n else np.zeros((0, 3, 3), np.float32)
@@ -266,3 +269,85 @@ def write_scene(data: SfmData, dirpath: str) -> None:
             obs_str = " ".join(f"{iid} {pidx}" for iid, pidx in obs)
             x, y, z = points[j]
             f.write(f"{j + 1} {x} {y} {z} 128 128 128 {e} {obs_str}\n")
+
+
+# ---- COLMAP binary format -------------------------------------------------
+# Parity: AstroVision and standard COLMAP outputs ship cameras.bin /
+# images.bin / points3D.bin; format per COLMAP's read_write_model.
+
+import struct as _struct
+
+_BIN_CAMERA_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 3 + 1),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
+
+
+def read_cameras_bin(path: str) -> dict:
+    """Binary cameras.bin -> same mapping as read_cameras_txt."""
+    cams = {}
+    with open(path, "rb") as f:
+        n = _struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            cam_id, model_id, width, height = _struct.unpack("<iiQQ", f.read(24))
+            name, n_params = _BIN_CAMERA_MODELS[model_id]
+            params = _struct.unpack(f"<{n_params}d", f.read(8 * n_params))
+            kwargs, cal_type = _parse_camera_params(name, params)
+            cams[cam_id] = (kwargs, cal_type, int(width), int(height))
+    return cams
+
+
+def read_images_bin(path: str) -> list:
+    """Binary images.bin -> same records as read_images_txt."""
+    images = []
+    with open(path, "rb") as f:
+        n = _struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            image_id = _struct.unpack("<i", f.read(4))[0]
+            qw, qx, qy, qz, tx, ty, tz = _struct.unpack("<7d", f.read(56))
+            camera_id = _struct.unpack("<i", f.read(4))[0]
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name += c
+            n2d = _struct.unpack("<Q", f.read(8))[0]
+            raw = np.frombuffer(f.read(24 * n2d), dtype="<f8").reshape(-1, 3)
+            pts2d = raw.astype(np.float32)  # (x, y, point3d_id-as-double)
+            R_cw = _quat_to_R(qw, qx, qy, qz)
+            t_cw = np.array([tx, ty, tz], np.float32)
+            images.append(
+                dict(
+                    image_id=image_id, R=R_cw.T, t=-R_cw.T @ t_cw,
+                    camera_id=camera_id, name=name.decode(), points2d=pts2d,
+                )
+            )
+    images.sort(key=lambda d: d["name"])
+    return images
+
+
+def read_points3d_bin(path: str) -> list:
+    points = []
+    with open(path, "rb") as f:
+        n = _struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            pid = _struct.unpack("<Q", f.read(8))[0]
+            xyz = np.frombuffer(f.read(24), dtype="<f8").astype(np.float32)
+            rgb = np.frombuffer(f.read(3), dtype=np.uint8).astype(np.int32)
+            err = _struct.unpack("<d", f.read(8))[0]
+            track_len = _struct.unpack("<Q", f.read(8))[0]
+            raw = np.frombuffer(f.read(8 * track_len), dtype="<i4").reshape(-1, 2)
+            track = [(int(a), int(b)) for a, b in raw]
+            points.append((xyz, rgb, float(err), track))
+    return points
+
+
+def read_scene_binary(dirpath: str) -> SfmData:
+    """Binary-format twin of read_scene."""
+    cams = read_cameras_bin(os.path.join(dirpath, "cameras.bin"))
+    images = read_images_bin(os.path.join(dirpath, "images.bin"))
+    points = read_points3d_bin(os.path.join(dirpath, "points3D.bin"))
+    return _assemble_scene(cams, images, points)

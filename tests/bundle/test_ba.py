@@ -135,3 +135,34 @@ def test_ba_handles_padding():
     opt, metrics = ba.run(noisy, fixed_cam=fixed)
     assert metrics["final_cost"] < metrics["initial_cost"] * 1e-2
     assert not np.any(np.isnan(np.asarray(opt.points)))
+
+
+def test_ba_gnc_rejects_gross_outliers():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=50)
+    noisy = _perturb(gt, pose_sigma=0.01, point_sigma=0.02, seed=6)
+    uv = np.asarray(noisy.meas_uv).copy()
+    uv[::17] += 120.0
+    noisy = noisy.replace(meas_uv=jnp.asarray(uv))
+    fixed = jnp.zeros(5, bool).at[0].set(True)
+    gnc = BundleAdjustment(BAOptions(max_iterations=40, robust_mode="gnc_gm", robust_huber_px=3.0))
+    opt, m = gnc.run(noisy, fixed_cam=fixed)
+    errs = _masked_errors(opt)
+    inl = np.delete(errs, slice(None, None, 17))
+    # GNC (redescending) should fully suppress outlier influence
+    assert np.median(inl) < 0.1, np.median(inl)
+    assert np.min(errs[::17]) > 50
+
+
+def test_ba_shared_intrinsics():
+    gt = make_synthetic_scene(n_cams=5, n_tracks=60)
+    bad_cal = gt.cal.replace(f=gt.cal.f * 1.05)
+    noisy = gt.replace(cal=bad_cal)
+    fixed = jnp.zeros(5, bool)  # no frozen cams: shared cal must move all
+    ba = BundleAdjustment(
+        BAOptions(max_iterations=40, optimize_intrinsics=True, shared_intrinsics=True)
+    )
+    opt, _ = ba.run(noisy, fixed_cam=fixed)
+    f_rec = np.asarray(opt.cal.f)
+    # all focals identical (shared) and moved back toward 500
+    assert np.ptp(f_rec) < 1e-3, f_rec
+    assert abs(f_rec[0] - 500.0) < abs(525.0 - 500.0)
