@@ -77,9 +77,26 @@ class BAProblem:
     meas_uv: jnp.ndarray  # f32[M, 2]
     meas_w: jnp.ndarray  # f32[M] base weights (0 = padding/invalid)
     fixed_cam: jnp.ndarray  # bool[N] cameras frozen in place
+    # relative-pose (BetweenFactor) priors, e.g. camera-rig constraints
+    # (parity: bundle_adjustment.py:197-216, rig_bundle_adjustment.py:25):
+    # for edge f: residual = w * Log(meas_bTa^-1 * (wTb^-1 wTa))
+    rel_edges: jnp.ndarray  # i32[F, 2] (a, b); F >= 1 (padded, weight 0)
+    rel_meas: SE3  # [F] measured bTa
+    rel_weight: jnp.ndarray  # f32[F]
+    # absolute pose priors (soft): residual = w * Log(prior^-1 wTi)
+    prior_pose: SE3  # [N]
+    prior_weight: jnp.ndarray  # f32[N] (0 = no prior)
 
 
-def problem_from_sfm_data(data: SfmData, fixed_cam=None) -> BAProblem:
+def problem_from_sfm_data(
+    data: SfmData,
+    fixed_cam=None,
+    rel_edges=None,
+    rel_meas: SE3 | None = None,
+    rel_weight=None,
+    prior_pose: SE3 | None = None,
+    prior_weight=None,
+) -> BAProblem:
     n = data.max_cameras
     if fixed_cam is None:
         fixed_cam = jnp.zeros(n, bool)
@@ -88,6 +105,13 @@ def problem_from_sfm_data(data: SfmData, fixed_cam=None) -> BAProblem:
         & data.track_mask[data.meas_track]
         & data.pose_mask[data.meas_cam]
     ).astype(jnp.float32)
+    if rel_edges is None:
+        rel_edges = jnp.zeros((1, 2), jnp.int32)
+        rel_meas = SE3.identity((1,))
+        rel_weight = jnp.zeros(1)
+    if prior_pose is None:
+        prior_pose = data.poses
+        prior_weight = jnp.zeros(n)
     return BAProblem(
         poses=data.poses,
         cal=data.cal,
@@ -98,6 +122,11 @@ def problem_from_sfm_data(data: SfmData, fixed_cam=None) -> BAProblem:
         meas_uv=data.meas_uv,
         meas_w=base_w,
         fixed_cam=fixed_cam,
+        rel_edges=jnp.asarray(rel_edges, jnp.int32),
+        rel_meas=rel_meas,
+        rel_weight=jnp.asarray(rel_weight, jnp.float32),
+        prior_pose=prior_pose,
+        prior_weight=jnp.asarray(prior_weight, jnp.float32),
     )
 
 
@@ -174,7 +203,77 @@ def _jacobians(prob: BAProblem, optimize_intrinsics: bool):
     return J_c, J_pt
 
 
-def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam, lam, cg_iters):
+def _pose_prior_terms(prob: BAProblem, d: int):
+    """Gauss-Newton contributions of relative + absolute pose priors.
+
+    Returns (H_diag [N, d, d], g [N, d], rel blocks for the matvec:
+    (edges, Jab [F, 6, 6] cross term J_a^T W J_b, J_a/J_b diag parts
+    already folded into H_diag)).
+    """
+    n = prob.fixed_cam.shape[0]
+    z6 = jnp.zeros(6)
+
+    # --- relative (between) factors ---------------------------------
+    a_idx = prob.rel_edges[:, 0]
+    b_idx = prob.rel_edges[:, 1]
+    pa = jax.tree.map(lambda x: x[a_idx], prob.poses)
+    pb = jax.tree.map(lambda x: x[b_idx], prob.poses)
+
+    def rel_resid(xa, xb, Ta, Tb, Tm):
+        rel = Tb.retract(xb).inverse().compose(Ta.retract(xa))
+        return Tm.inverse().compose(rel).log()
+
+    r_rel = jax.vmap(rel_resid, in_axes=(None, None, 0, 0, 0))(
+        z6, z6, pa, pb, prob.rel_meas
+    )  # (F, 6)
+    Ja, Jb = jax.vmap(
+        jax.jacfwd(rel_resid, argnums=(0, 1)), in_axes=(None, None, 0, 0, 0)
+    )(z6, z6, pa, pb, prob.rel_meas)  # (F, 6, 6)
+    wf = prob.rel_weight[:, None, None]
+    Haa = p_einsum("fri,frj->fij", Ja * wf, Ja)
+    Hbb = p_einsum("fri,frj->fij", Jb * wf, Jb)
+    Hab = p_einsum("fri,frj->fij", Ja * wf, Jb)
+    ga = p_einsum("fri,fr->fi", Ja * wf, r_rel)
+    gb = p_einsum("fri,fr->fi", Jb * wf, r_rel)
+
+    H_diag6 = jnp.zeros((n, 6, 6))
+    H_diag6 = H_diag6.at[a_idx].add(Haa).at[b_idx].add(Hbb)
+    g6 = jnp.zeros((n, 6))
+    g6 = g6.at[a_idx].add(ga).at[b_idx].add(gb)
+
+    # --- absolute priors --------------------------------------------
+    def abs_resid(xi, T, Tp):
+        return Tp.inverse().compose(T.retract(xi)).log()
+
+    r_abs = jax.vmap(abs_resid, in_axes=(None, 0, 0))(z6, prob.poses, prob.prior_pose)
+    J_abs = jax.vmap(jax.jacfwd(abs_resid, argnums=0), in_axes=(None, 0, 0))(
+        z6, prob.poses, prob.prior_pose
+    )  # (N, 6, 6)
+    wp = prob.prior_weight[:, None, None]
+    H_diag6 = H_diag6 + p_einsum("nri,nrj->nij", J_abs * wp, J_abs)
+    g6 = g6 + p_einsum("nri,nr->ni", J_abs * wp, r_abs)
+
+    # lift 6-dof blocks into the d-dof camera parameterization
+    H_diag = jnp.zeros((n, d, d)).at[:, :6, :6].add(H_diag6)
+    g = jnp.zeros((n, d)).at[:, :6].add(g6)
+    return H_diag, g, (a_idx, b_idx, Hab)
+
+
+def _prior_cost(prob: BAProblem) -> jnp.ndarray:
+    a_idx = prob.rel_edges[:, 0]
+    b_idx = prob.rel_edges[:, 1]
+    pa = jax.tree.map(lambda x: x[a_idx], prob.poses)
+    pb = jax.tree.map(lambda x: x[b_idx], prob.poses)
+    rel = pb.inverse().compose(pa)
+    r_rel = prob.rel_meas.inverse().compose(rel).log()
+    c = 0.5 * jnp.sum(prob.rel_weight * jnp.sum(r_rel**2, axis=-1))
+    r_abs = prob.prior_pose.inverse().compose(prob.poses).log()
+    c = c + 0.5 * jnp.sum(prob.prior_weight * jnp.sum(r_abs**2, axis=-1))
+    return c
+
+
+def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam, lam, cg_iters,
+                 prior_terms=None):
     """Solve the damped normal equations via Schur + PCG.
 
     Returns (delta_c [N, d], delta_p [T, 3]).
@@ -195,6 +294,13 @@ def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam
     g_c = jax.ops.segment_sum(p_einsum("mri,mr->mi", Jc, rw), meas_cam, num_segments=n_cam)
     g_p = jax.ops.segment_sum(p_einsum("mri,mr->mi", Jp, rw), meas_track, num_segments=n_track)
 
+    rel_coupling = None
+    if prior_terms is not None:
+        H_prior, g_prior, rel_coupling = prior_terms
+        freeN = (~fixed_cam).astype(Jc.dtype)[:, None]
+        Hcc = Hcc + H_prior * freeN[..., None] * freeN[:, None, :]
+        g_c = g_c + g_prior * freeN
+
     eye_d = jnp.eye(d, dtype=Jc.dtype)
     eye_3 = jnp.eye(3, dtype=Jc.dtype)
     # Marquardt damping: lam * (diag + eps*I) keeps fixed/empty blocks SPD
@@ -212,7 +318,18 @@ def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam
         v = p_einsum("tij,tj->ti", Hpp_inv, s)
         t = p_einsum("mij,mj->mi", W, v[meas_track])  # (M, d) = W v
         y2 = jax.ops.segment_sum(t, meas_cam, num_segments=n_cam)
-        return y1 - y2
+        y = y1 - y2
+        if rel_coupling is not None:
+            # off-diagonal camera-camera coupling from between-factors
+            a_idx, b_idx, Hab = rel_coupling
+            freeN = (~fixed_cam).astype(x.dtype)[:, None]
+            xa = (x * freeN)[a_idx][:, :6]
+            xb = (x * freeN)[b_idx][:, :6]
+            ya = p_einsum("fij,fj->fi", Hab, xb)  # H_ab x_b -> a
+            yb = p_einsum("fji,fj->fi", Hab, xa)  # H_ab^T x_a -> b
+            y6 = jnp.zeros((n_cam, 6)).at[a_idx].add(ya).at[b_idx].add(yb)
+            y = y.at[:, :6].add(y6 * freeN[:, :1])
+        return y
 
     # rhs: b = -g_c + W Hpp^-1 g_p
     hv = p_einsum("tij,tj->ti", Hpp_inv, g_p)
@@ -281,7 +398,7 @@ def _cost(prob: BAProblem, opts: BAOptions) -> jnp.ndarray:
         rho = jnp.where(nrm <= k, quad, lin)
     else:
         rho = 0.5 * nrm**2
-    return jnp.sum(base * rho) / (opts.measurement_sigma_px**2)
+    return jnp.sum(base * rho) / (opts.measurement_sigma_px**2) + _prior_cost(prob)
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -295,9 +412,11 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
         r, depth = _residuals(prob)
         w = _robust_weights(r, depth, prob.meas_w, opts, mu)
         J_c, J_p = _jacobians(prob, opts.optimize_intrinsics)
+        prior_terms = _pose_prior_terms(prob, J_c.shape[-1])
         delta_c, delta_p = _schur_solve(
             J_c, J_p, r, w, prob.meas_cam, prob.meas_track,
             n_cam, n_track, prob.fixed_cam, lam, opts.cg_iterations,
+            prior_terms=prior_terms,
         )
         cand = _apply_step(prob, delta_c, delta_p, opts)
         new_cost = _cost(cand, opts)
@@ -330,9 +449,11 @@ class BundleAdjustment:
     def __init__(self, options: BAOptions = BAOptions()):
         self.options = options
 
-    def run(self, data: SfmData, fixed_cam=None) -> tuple:
-        """-> (optimized SfmData, dict metrics)"""
-        prob = problem_from_sfm_data(data, fixed_cam=fixed_cam)
+    def run(self, data: SfmData, fixed_cam=None, **prior_kwargs) -> tuple:
+        """-> (optimized SfmData, dict metrics). prior_kwargs forward to
+        problem_from_sfm_data (rel_edges/rel_meas/rel_weight for rig
+        between-factors, prior_pose/prior_weight for absolute priors)."""
+        prob = problem_from_sfm_data(data, fixed_cam=fixed_cam, **prior_kwargs)
         prob_f, cost0, cost_f, hist = _optimize_jit(prob, self.options)
         out = problem_to_sfm_data(prob_f, data)
         metrics = {

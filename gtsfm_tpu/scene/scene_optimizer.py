@@ -44,6 +44,15 @@ class SceneOptimizerOptions(NamedTuple):
     seed: int = 0
     output_root: Optional[str] = None
     save_colmap: bool = True
+    # bridge reconnection of disconnected components (scene_optimizer.py:242-262)
+    reconnect_bridges: bool = True
+    # hierarchical mode: partition + per-cluster MVO + Sim3 merge
+    hierarchical: bool = False
+    max_cluster_size: int = 40
+    # optional dense / splat back-ends (the reference's --run_mvs / --run_gs)
+    run_mvs: bool = False
+    run_gs: bool = False
+    gs_iterations: int = 800
 
 
 class SceneOptimizer:
@@ -74,12 +83,39 @@ class SceneOptimizer:
 
         # ---- retrieve pairs ------------------------------------------
         t0 = time.perf_counter()
-        pairs = self.retriever.get_image_pairs(n)
+        global_descs = None
+        if getattr(self.retriever, "__class__", type(None)).__name__ in (
+            "SimilarityRetriever", "JointSimilaritySequentialRetriever",
+        ):
+            from gtsfm_tpu.frontend.global_descriptors.descriptors import TinyImageDescriptor
+
+            global_descs = TinyImageDescriptor().describe_batch(images)
+        pairs = self.retriever.get_image_pairs(n, global_descriptors=global_descs)
         retriever_sec = time.perf_counter() - t0
 
         # ---- two-view estimation (batched over pairs) ----------------
         t0 = time.perf_counter()
         tvr = self._run_two_view(pairs, kp_xy, kp_mask, descs, cal)
+
+        # bridge reconnection: if the valid graph split into islands, add
+        # the most-similar cross-component pairs and estimate them too
+        sim_matrix = getattr(self.retriever, "latest_similarity_matrix", None)
+        if opts.reconnect_bridges and sim_matrix is None and global_descs is not None:
+            from gtsfm_tpu.retriever.retrievers import similarity_matrix as _simmat
+
+            sim_matrix = np.asarray(_simmat(jnp.asarray(global_descs)))
+        if opts.reconnect_bridges and sim_matrix is not None:
+            from gtsfm_tpu.retriever.bridge import find_bridge_pairs
+
+            bridges = find_bridge_pairs(n, pairs[tvr["valid"]], sim_matrix)
+            existing = {tuple(p) for p in pairs}
+            bridges = np.asarray(
+                [b for b in bridges if tuple(b) not in existing], np.int32
+            ).reshape(-1, 2)
+            if len(bridges):
+                tvr_b = self._run_two_view(bridges, kp_xy, kp_mask, descs, cal)
+                pairs = np.concatenate([pairs, bridges])
+                tvr = {k: np.concatenate([tvr[k], tvr_b[k]]) for k in tvr}
         frontend_sec = time.perf_counter() - t0
 
         fe_group = MetricsGroup(
@@ -102,21 +138,32 @@ class SceneOptimizer:
             image_names=loader.image_filenames(),
             image_sizes=[(w, h) for (h, w) in sizes],
         )
-        mvo = MultiViewOptimizer(opts.mvo)
-        data, mvo_metrics = mvo.run(
-            num_images=n,
-            pairs=pairs,
-            i2Ri1=tvr["i2Ri1"],
-            i2Ui1=tvr["i2Ui1"],
-            pair_valid=tvr["valid"],
-            num_inliers=tvr["num_inliers"],
-            corr_i1=tvr["corr_i1"],
-            corr_i2=tvr["corr_i2"],
-            corr_mask=tvr["corr_mask"],
-            keypoints_xy=kp_xy,
-            cal=cal,
-            meta=meta,
-        )
+        if opts.hierarchical:
+            from gtsfm_tpu.scene.hierarchical import (
+                HierarchicalOptions,
+                HierarchicalReconstruction,
+            )
+
+            hier = HierarchicalReconstruction(
+                HierarchicalOptions(mvo=opts.mvo, max_cluster_size=opts.max_cluster_size)
+            )
+            data, mvo_metrics = hier.run(n, pairs, tvr, kp_xy, cal, meta=meta)
+        else:
+            mvo = MultiViewOptimizer(opts.mvo)
+            data, mvo_metrics = mvo.run(
+                num_images=n,
+                pairs=pairs,
+                i2Ri1=tvr["i2Ri1"],
+                i2Ui1=tvr["i2Ui1"],
+                pair_valid=tvr["valid"],
+                num_inliers=tvr["num_inliers"],
+                corr_i1=tvr["corr_i1"],
+                corr_i2=tvr["corr_i2"],
+                corr_mask=tvr["corr_mask"],
+                keypoints_xy=kp_xy,
+                cal=cal,
+                meta=meta,
+            )
         mvo_group = MetricsGroup(
             "multiview_optimizer_metrics",
             [Metric(k, v) for k, v in mvo_metrics.items() if isinstance(v, (int, float))],
@@ -140,6 +187,31 @@ class SceneOptimizer:
             )
             metrics_groups.append(eval_group)
 
+        # ---- optional dense MVS / gaussian splatting ------------------
+        dense_points = None
+        gs_result = None
+        if opts.run_mvs and not mvo_metrics.get("failed") and data.number_tracks() > 0:
+            from gtsfm_tpu.densify.mvs import MVSOptions, PlaneSweepMVS
+
+            t0 = time.perf_counter()
+            mvs = PlaneSweepMVS(MVSOptions())
+            dense_points, dense_colors, mvs_metrics = mvs.run(data, images)
+            mvs_metrics["mvs_sec"] = time.perf_counter() - t0
+            metrics_groups.append(
+                MetricsGroup("mvs_metrics", [Metric(k, v) for k, v in mvs_metrics.items()])
+            )
+        if opts.run_gs and not mvo_metrics.get("failed") and data.number_tracks() > 0:
+            from gtsfm_tpu.splat.gaussian_splatting import GaussianSplatting, GSTrainOptions
+
+            t0 = time.perf_counter()
+            gs_trainer = GaussianSplatting(GSTrainOptions(iterations=opts.gs_iterations))
+            gs_result, gs_metrics = gs_trainer.train(data, images)
+            gs_metrics["gs_sec"] = time.perf_counter() - t0
+            metrics_groups.append(
+                MetricsGroup("gaussian_splatting_metrics",
+                             [Metric(k, v) for k, v in gs_metrics.items()])
+            )
+
         total_sec = time.perf_counter() - t_start
         metrics_groups.append(
             MetricsGroup("total_summary", [Metric("total_runtime_sec", total_sec)])
@@ -154,6 +226,19 @@ class SceneOptimizer:
             mdir = os.path.join(results_dir, "metrics")
             for g in metrics_groups:
                 g.save_json(mdir)
+            from gtsfm_tpu.evaluation.report import generate_html_report
+            from gtsfm_tpu.ui.registry import ProcessGraphGenerator
+
+            generate_html_report(
+                metrics_groups, os.path.join(results_dir, "gtsfm_metrics_report.html")
+            )
+            ProcessGraphGenerator().save_graph(os.path.join(results_dir, "process_graph.dot"))
+            if dense_points is not None and len(dense_points):
+                np.save(os.path.join(results_dir, "dense_points.npy"), dense_points)
+            if gs_result is not None:
+                from gtsfm_tpu.splat.gs_data import export_ply
+
+                export_ply(gs_result, os.path.join(results_dir, "splats.ply"))
 
         return data, metrics_groups
 

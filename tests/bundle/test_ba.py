@@ -166,3 +166,46 @@ def test_ba_shared_intrinsics():
     # all focals identical (shared) and moved back toward 500
     assert np.ptp(f_rec) < 1e-3, f_rec
     assert abs(f_rec[0] - 500.0) < abs(525.0 - 500.0)
+
+
+def test_ba_rig_between_factors():
+    """Hard relative-pose constraints keep a 2-camera rig rigid under BA."""
+    from gtsfm_tpu.geometry import SE3 as _SE3
+
+    gt = make_synthetic_scene(n_cams=6, n_tracks=60)
+    noisy = _perturb(gt, pose_sigma=0.03, seed=7)
+    # rig pairs: (0,1), (2,3), (4,5) with GT relative poses as measurements
+    edges = np.array([[0, 1], [2, 3], [4, 5]], np.int32)
+    pa = jax.tree.map(lambda x: x[jnp.asarray(edges[:, 0])], gt.poses)
+    pb = jax.tree.map(lambda x: x[jnp.asarray(edges[:, 1])], gt.poses)
+    rel_meas = pb.inverse().compose(pa)  # bTa
+    fixed = jnp.zeros(6, bool).at[0].set(True)
+    ba = BundleAdjustment(BAOptions(max_iterations=30))
+    opt, _ = ba.run(
+        noisy, fixed_cam=fixed,
+        rel_edges=jnp.asarray(edges), rel_meas=rel_meas,
+        rel_weight=jnp.full(3, 1e5),
+    )
+    # the optimized relative poses must match the rig measurements tightly
+    qa = jax.tree.map(lambda x: x[jnp.asarray(edges[:, 0])], opt.poses)
+    qb = jax.tree.map(lambda x: x[jnp.asarray(edges[:, 1])], opt.poses)
+    rel_est = qb.inverse().compose(qa)
+    err = np.asarray(rel_meas.inverse().compose(rel_est).log())
+    assert np.abs(err).max() < 2e-3, err
+    # and reprojection still converged
+    assert np.mean(_masked_errors(opt)) < 0.3
+
+
+def test_ba_absolute_pose_priors():
+    gt = make_synthetic_scene(n_cams=4, n_tracks=30)
+    noisy = _perturb(gt, pose_sigma=0.05, seed=8, n_anchors=0)
+    # soft priors pull every camera to GT: resolves the gauge without
+    # freezing anything
+    ba = BundleAdjustment(BAOptions(max_iterations=30))
+    opt, _ = ba.run(
+        noisy,
+        prior_pose=gt.poses,
+        prior_weight=jnp.full(4, 10.0),
+    )
+    t_err = np.abs(np.asarray(opt.poses.t) - np.asarray(gt.poses.t)).max()
+    assert t_err < 0.05, t_err
