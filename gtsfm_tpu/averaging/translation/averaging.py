@@ -228,7 +228,14 @@ class TranslationAveraging:
         wRi: np.ndarray,
         edge_mask: np.ndarray | None = None,
         seed: int = 0,
+        track_dirs: tuple | None = None,
     ):
+        """track_dirs: optional camera->landmark direction augmentation
+        (cam_idx (A,), track_node (A,), w_dir (A, 3) world-frame unit
+        directions) — the reference's BA-coverage track selection
+        (averaging_1dsfm.py:333-400). Track nodes index a virtual node
+        space appended after the camera nodes; their solved positions are
+        discarded."""
         edges = np.asarray(edges, np.int32)
         E = len(edges)
         if E == 0:
@@ -262,13 +269,79 @@ class TranslationAveraging:
 
         # solve on device: edge (i1, i2) with t_i1 - t_i2 ~ s * w_dir
         w = inlier_mask.astype(np.float32)
+        solve_edges = edges
+        solve_dirs = w_dirs
+        solve_w = w
+        num_nodes = num_images
+        if track_dirs is not None:
+            cam_idx, track_node, tdirs = track_dirs
+            num_nodes = num_images + (int(np.max(track_node)) + 1 if len(track_node) else 0)
+            # direction from camera -> track: t_track - t_cam ~ s * dir
+            aug_edges = np.stack(
+                [np.asarray(track_node) + num_images, np.asarray(cam_idx)], axis=-1
+            ).astype(np.int32)
+            solve_edges = np.concatenate([edges, aug_edges])
+            solve_dirs = np.concatenate([w_dirs, np.asarray(tdirs, np.float32)])
+            solve_w = np.concatenate([w, 0.5 * np.ones(len(aug_edges), np.float32)])
         t = _solve_positions(
-            num_images,
-            jnp.asarray(edges),
-            jnp.asarray(w_dirs),
-            jnp.asarray(w),
+            num_nodes,
+            jnp.asarray(solve_edges),
+            jnp.asarray(solve_dirs),
+            jnp.asarray(solve_w),
             self.options,
         )
-        t_np = np.array(t)
+        t_np = np.array(t)[:num_images]
         t_np[~valid] = 0.0
         return t_np.astype(np.float32), valid, inlier_mask
+
+
+def select_tracks_for_coverage(
+    track_cam: "np.ndarray", track_mask: "np.ndarray", num_images: int,
+    tracks_per_camera: int = 12,
+) -> "np.ndarray":
+    """Greedy per-camera track selection for translation-averaging coverage.
+
+    Parity: averaging_1dsfm.py:333-400 (12 tracks/camera greedy cover).
+    Returns selected track indices."""
+    counts = np.zeros(num_images, np.int64)
+    lengths = track_mask.sum(axis=1)
+    order = np.argsort(-lengths)
+    selected = []
+    for t in order:
+        cams = track_cam[t][track_mask[t]]
+        if len(cams) < 2:
+            continue
+        if np.any(counts[cams] < tracks_per_camera):
+            selected.append(t)
+            counts[cams] += 1
+        if np.all(counts >= tracks_per_camera):
+            break
+    return np.asarray(selected, np.int64)
+
+
+def camera_track_directions(
+    wRi: "np.ndarray", cal, track_cam, track_uv, track_mask, selected
+):
+    """Unit world directions camera -> track landmark from the bearing of
+    each selected track observation. Returns (cam_idx, track_node, dirs)."""
+    import jax
+    import jax.numpy as jnp
+
+    cams, nodes, dirs = [], [], []
+    for node, t in enumerate(selected):
+        obs = np.nonzero(track_mask[t])[0]
+        for k in obs:
+            i = int(track_cam[t, k])
+            cal_i = jax.tree.map(lambda a: a[i], cal)
+            xy = np.asarray(cal_i.calibrate(jnp.asarray(track_uv[t, k])))
+            bearing = np.array([xy[0], xy[1], 1.0], np.float64)
+            bearing /= np.linalg.norm(bearing)
+            d = wRi[i] @ bearing
+            cams.append(i)
+            nodes.append(node)
+            dirs.append(d.astype(np.float32))
+    return (
+        np.asarray(cams, np.int32),
+        np.asarray(nodes, np.int32),
+        np.asarray(dirs, np.float32).reshape(-1, 3),
+    )

@@ -51,6 +51,9 @@ class MVOOptions(NamedTuple):
     triangulation_reproj_threshold_px: float = 3.0
     triangulation_hypotheses: int = 32
     min_triangulation_angle_deg: float = 1.0
+    # camera->track direction augmentation for translation averaging
+    # (averaging_1dsfm.py:333-400); 0 disables
+    ta_tracks_per_camera: int = 12
     seed: int = 0
 
 
@@ -131,9 +134,23 @@ class MultiViewOptimizer:
         # --- translation averaging ---------------------------------------
         t0 = time.perf_counter()
         ta = TranslationAveraging(opts.translation)
+        track_dirs = None
+        if opts.ta_tracks_per_camera > 0:
+            from gtsfm_tpu.averaging.translation.averaging import (
+                camera_track_directions,
+                select_tracks_for_coverage,
+            )
+
+            sel = select_tracks_for_coverage(
+                track_cam, track_mask, num_images, opts.ta_tracks_per_camera
+            )
+            if len(sel) >= 3:
+                track_dirs = camera_track_directions(
+                    wRi, cal, track_cam, track_uv, track_mask, sel
+                )
         wti, trans_valid, ta_inlier_mask = ta.run(
             num_images, pairs[edge_mask], np.asarray(i2Ui1)[edge_mask], wRi,
-            seed=opts.seed,
+            seed=opts.seed, track_dirs=track_dirs,
         )
         metrics["translation_averaging_sec"] = time.perf_counter() - t0
         metrics["num_edges_after_1dsfm"] = int(ta_inlier_mask.sum())

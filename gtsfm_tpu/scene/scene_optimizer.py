@@ -133,6 +133,14 @@ class SceneOptimizer:
         )
         metrics_groups.append(fe_group)
 
+        # per-pair two-view reports vs GT (verifier_summary parity)
+        gt_for_reports = loader.get_gt_poses()
+        if gt_for_reports is not None:
+            from gtsfm_tpu.frontend.reports import aggregate_frontend_metrics, make_reports
+
+            reports = make_reports(pairs, tvr, gt_for_reports)
+            metrics_groups.append(aggregate_frontend_metrics(reports))
+
         # ---- multi-view optimization ---------------------------------
         meta = SceneMeta(
             image_names=loader.image_filenames(),
