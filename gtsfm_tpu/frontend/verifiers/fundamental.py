@@ -1,0 +1,214 @@
+"""Fundamental-matrix RANSAC + homography degeneracy check.
+
+Parity: /root/reference/gtsfm/frontend/verifier/ — the FUNDAMENTAL_MATRIX
+estimation mode of OpencvVerifierBase (7/8-pt USAC, used when intrinsics
+are unshared/unknown, verifier_base.py), F -> E upgrade
+(utils/verification.py), and GricVerifier's H-vs-F GRIC model selection
+(gric_verifier.py, pycolmap) used to reject planar/degenerate pairs.
+
+Same TPU shape as the essential verifier: static hypothesis batches of
+pinned-nullvector solves, masked scoring, exact refits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, mm, nullvec_pinned
+
+
+class FundamentalOptions(NamedTuple):
+    num_hypotheses: int = 512
+    lo_rounds: int = 3
+    min_inliers: int = 8
+
+
+def _hartley_normalize(x: jnp.ndarray, w: jnp.ndarray):
+    """Similarity transform making weighted points zero-mean, sqrt(2)-rms."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu = jnp.sum(x * w[:, None], axis=0) / wsum
+    d = jnp.sqrt(jnp.sum(jnp.sum((x - mu) ** 2, -1) * w) / wsum)
+    s = jnp.sqrt(2.0) / jnp.maximum(d, 1e-9)
+    T = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], x.dtype) * s
+    T = T.at[2, 2].set(1.0).at[0, 2].set(-s * mu[0]).at[1, 2].set(-s * mu[1])
+    return (x - mu) * s, T
+
+
+def _f_normal_matrix(x1, x2, w):
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)
+    p2 = jnp.concatenate([x2, ones], -1)
+    A = (p2[:, :, None] * p1[:, None, :]).reshape(-1, 9)
+    nrm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.maximum(nrm, 1e-12)
+    return p_einsum("ki,kj->ij", A * w[:, None], A)
+
+
+def _rank2(F):
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return mm(U * S[None, :], Vt)
+
+
+def _sampson_f(F, x1, x2):
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)
+    p2 = jnp.concatenate([x2, ones], -1)
+    Fx1 = p_einsum("ij,kj->ki", F, p1)
+    Ftx2 = p_einsum("ji,kj->ki", F, p2)
+    num = jnp.sum(p2 * Fx1, -1) ** 2
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def ransac_fundamental(
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    threshold_px: float = 3.0,
+    opts: FundamentalOptions = FundamentalOptions(),
+):
+    """Pixel-space fundamental RANSAC with Hartley normalization.
+
+    Returns dict with F (3,3), inliers (K,), num_inliers, success."""
+    K = uv1.shape[0]
+    maskf = mask.astype(uv1.dtype)
+    x1n, T1 = _hartley_normalize(uv1, maskf)
+    x2n, T2 = _hartley_normalize(uv2, maskf)
+    # normalized threshold: scale by T's isotropic factor
+    s_avg = 0.5 * (T1[0, 0] + T2[0, 0])
+    thresh2 = (threshold_px * s_avg) ** 2
+
+    def sample_one(k):
+        scores = jax.random.uniform(k, (K,)) * maskf
+        idx = jax.lax.top_k(scores, 8)[1]
+        return jnp.zeros(K, uv1.dtype).at[idx].set(1.0) * maskf
+
+    keys = jax.random.split(key, opts.num_hypotheses)
+    sample_w = jax.vmap(sample_one)(keys)
+
+    def score(w):
+        Fh = nullvec_pinned(_f_normal_matrix(x1n, x2n, w)).reshape(3, 3)
+        err = _sampson_f(Fh, x1n, x2n)
+        return jnp.sum(mask & (err < thresh2)), Fh
+
+    votes, Fs = jax.vmap(score)(sample_w)
+    best = jnp.argmax(votes)
+    F_best = Fs[best]
+
+    def lo_round(F, mult):
+        err = _sampson_f(F, x1n, x2n)
+        inl = mask & (err < thresh2 * mult**2)
+        w_soft = inl.astype(uv1.dtype) / (1.0 + err / jnp.maximum(thresh2, 1e-20))
+        AtA = _f_normal_matrix(x1n, x2n, w_soft)
+        _, vecs = jnp.linalg.eigh(AtA)
+        F_new = _rank2(vecs[:, 0].reshape(3, 3))
+        better = jnp.sum(mask & (_sampson_f(F_new, x1n, x2n) < thresh2)) >= jnp.sum(
+            mask & (err < thresh2)
+        )
+        return jnp.where(better, F_new, F), None
+
+    mults = jnp.linspace(2.0, 1.0, opts.lo_rounds)
+    F_final, _ = jax.lax.scan(lo_round, _rank2(F_best), mults)
+    err = _sampson_f(F_final, x1n, x2n)
+    inliers = mask & (err < thresh2)
+    # denormalize: F = T2^T Fn T1
+    F_px = mm(mm(T2.T, F_final), T1)
+    F_px = F_px / jnp.maximum(jnp.linalg.norm(F_px), 1e-12)
+    return {
+        "F": F_px,
+        "inliers": inliers,
+        "num_inliers": jnp.sum(inliers),
+        "success": (jnp.sum(inliers) >= opts.min_inliers),
+    }
+
+
+def fundamental_to_essential(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.ndarray:
+    """E = K2^T F K1 projected to the essential manifold.
+
+    Parity: utils/verification.py fundamental_to_essential."""
+    E = mm(mm(K2.T, F), K1)
+    U, _, Vt = jnp.linalg.svd(E)
+    S = jnp.array([1.0, 1.0, 0.0], E.dtype)
+    return mm(U * S[None, :], Vt)
+
+
+# ---- homography + GRIC model selection ------------------------------------
+
+
+def _h_normal_matrix(x1, x2, w):
+    """DLT rows for homography x2 ~ H x1 (2 rows per correspondence)."""
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)  # (K, 3)
+    zeros = jnp.zeros_like(p1)
+    u2 = x2[:, 0:1]
+    v2 = x2[:, 1:2]
+    r1 = jnp.concatenate([p1, zeros, -u2 * p1], -1)  # (K, 9)
+    r2 = jnp.concatenate([zeros, p1, -v2 * p1], -1)
+    A = jnp.concatenate([r1, r2], 0)
+    ww = jnp.concatenate([w, w])
+    nrm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.maximum(nrm, 1e-12)
+    return p_einsum("ki,kj->ij", A * ww[:, None], A)
+
+
+def _h_transfer_err(H, x1, x2):
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)
+    q = p_einsum("ij,kj->ki", H, p1)
+    q = q[:, :2] / jnp.where(jnp.abs(q[:, 2:]) < 1e-12, 1e-12, q[:, 2:])
+    return jnp.sum((q - x2) ** 2, -1)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def ransac_homography(
+    uv1, uv2, mask, key, threshold_px: float = 3.0, num_hypotheses: int = 256
+):
+    """Homography RANSAC (4-point DLT hypotheses via pinned nullvector)."""
+    K = uv1.shape[0]
+    maskf = mask.astype(uv1.dtype)
+    x1n, T1 = _hartley_normalize(uv1, maskf)
+    x2n, T2 = _hartley_normalize(uv2, maskf)
+    s_avg = 0.5 * (T1[0, 0] + T2[0, 0])
+    thresh2 = (threshold_px * s_avg) ** 2
+
+    def sample_one(k):
+        scores = jax.random.uniform(k, (K,)) * maskf
+        idx = jax.lax.top_k(scores, 4)[1]
+        return jnp.zeros(K, uv1.dtype).at[idx].set(1.0) * maskf
+
+    keys = jax.random.split(key, num_hypotheses)
+    sample_w = jax.vmap(sample_one)(keys)
+
+    def score(w):
+        Hh = nullvec_pinned(_h_normal_matrix(x1n, x2n, w)).reshape(3, 3)
+        err = _h_transfer_err(Hh, x1n, x2n)
+        return jnp.sum(mask & (err < thresh2)), Hh
+
+    votes, Hs = jax.vmap(score)(sample_w)
+    best = jnp.argmax(votes)
+    H = Hs[best]
+    err = _h_transfer_err(H, x1n, x2n)
+    inliers = mask & (err < thresh2)
+    return {"H": H, "inliers": inliers, "num_inliers": jnp.sum(inliers)}
+
+
+def gric_select_model(
+    f_inliers: jnp.ndarray, h_inliers: jnp.ndarray, mask: jnp.ndarray,
+    h_f_inlier_ratio_threshold: float = 0.8,
+):
+    """Degeneracy check: if the homography explains nearly as many
+    correspondences as F/E, the pair is planar/rotation-only and unreliable
+    for relative-pose recovery (GricVerifier's decision rule).
+
+    Returns (is_degenerate bool, hf_ratio)."""
+    nf = jnp.maximum(jnp.sum(f_inliers & mask), 1)
+    nh = jnp.sum(h_inliers & mask)
+    ratio = nh / nf
+    return ratio >= h_f_inlier_ratio_threshold, ratio
