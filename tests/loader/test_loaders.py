@@ -83,3 +83,21 @@ def test_onedsfm_loader():
     assert len(L) >= 2
     cal = L.get_camera_intrinsics(0)  # EXIF or default prior
     assert float(np.asarray(cal.f)) > 0
+
+
+@needs("hilti_exp4_small")
+def test_hilti_loader():
+    from gtsfm_tpu.loader.hilti import HiltiLoader
+
+    L = HiltiLoader(os.path.join(REF, "hilti_exp4_small"), max_resolution=480)
+    assert len(L) >= 5
+    assert L.cams_per_rig >= 2
+    assert L.rig_index(L.cams_per_rig) == 1
+    cal = L.get_camera_intrinsics(0)
+    if cal is not None:
+        assert float(np.asarray(cal.fx)) > 0
+    edges, rel, w = L.get_rig_constraints()
+    assert len(edges) >= 1
+    # relative pose within the same rig must be a valid SE3
+    R0 = np.asarray(rel.R)[0]
+    assert abs(np.linalg.det(R0) - 1.0) < 1e-4

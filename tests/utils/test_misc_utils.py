@@ -95,3 +95,41 @@ def test_synthetic_correspondences_end_to_end():
     aligned = sim.transform_pose(data.poses)
     r_err = np.asarray(so3.relative_angle_deg(aligned.R, scene.poses.R))[est_mask]
     assert r_err.max() < 0.5, r_err
+
+
+def test_geometry_comparisons():
+    from gtsfm_tpu.utils.geometry_comparisons import (
+        compare_global_poses,
+        compare_rotations,
+        compute_relative_rotation_angle,
+        compute_relative_unit_translation_angle,
+    )
+    from gtsfm_tpu.geometry import SE3, so3
+    from gtsfm_tpu.geometry.sim3 import Sim3
+
+    R1 = np.asarray(so3.expmap(jnp.asarray([0.1, 0, 0])))
+    R2 = np.asarray(so3.expmap(jnp.asarray([0.2, 0, 0])))
+    assert abs(compute_relative_rotation_angle(R1, R2) - np.degrees(0.1)) < 1e-3
+    assert compute_relative_unit_translation_angle(np.array([1, 0, 0.0]), np.array([-1, 0, 0.0])) < 1e-6
+
+    data = make_synthetic_scene(n_cams=5)
+    S = Sim3(R=np.asarray(so3.expmap(jnp.asarray([0, 0.3, 0]))), t=jnp.asarray([1.0, 0, 0]), s=jnp.asarray(2.0))
+    moved = S.transform_pose(data.poses)
+    assert compare_global_poses(moved, data.poses)
+    assert compare_rotations(np.asarray(moved.R), np.asarray(data.poses.R))
+
+
+def test_frustum_overlap():
+    from gtsfm_tpu.utils.overlap_frustums import frustum_overlap_fraction
+    from gtsfm_tpu.geometry import SE3, Cal3_S2
+
+    cal = Cal3_S2.create(100.0, 100.0, 0.0, 64.0, 48.0)
+    a = SE3.identity()
+    # identical cameras -> full overlap
+    assert frustum_overlap_fraction(a, cal, a, cal, 128, 96) > 0.95
+    # opposite-facing camera -> ~no overlap
+    import jax.numpy as jnp2
+    from gtsfm_tpu.geometry import so3 as so3m
+
+    b = SE3(R=np.asarray(so3m.expmap(jnp2.asarray([0.0, np.pi, 0.0]))), t=jnp2.zeros(3))
+    assert frustum_overlap_fraction(a, cal, b, cal, 128, 96) < 0.05
