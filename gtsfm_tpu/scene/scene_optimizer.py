@@ -53,6 +53,8 @@ class SceneOptimizerOptions(NamedTuple):
     run_mvs: bool = False
     run_gs: bool = False
     gs_iterations: int = 800
+    mvs_num_depths: int = 64
+    mvs_num_source_views: int = 4
 
 
 class SceneOptimizer:
@@ -202,7 +204,10 @@ class SceneOptimizer:
             from gtsfm_tpu.densify.mvs import MVSOptions, PlaneSweepMVS
 
             t0 = time.perf_counter()
-            mvs = PlaneSweepMVS(MVSOptions())
+            mvs = PlaneSweepMVS(MVSOptions(
+                num_depths=opts.mvs_num_depths,
+                num_source_views=opts.mvs_num_source_views,
+            ))
             dense_points, dense_colors, mvs_metrics = mvs.run(data, images)
             mvs_metrics["mvs_sec"] = time.perf_counter() - t0
             metrics_groups.append(
