@@ -137,17 +137,26 @@ def triangulate_track_ransac(
         hyp_pairs = jnp.stack([pair_i[top], pair_j[top]], axis=-1)
         hyp_pairs = jnp.pad(hyp_pairs, ((0, num_hypotheses - k_eff), (0, 0)))
     else:
+        # Gumbel-max categorical sampling: jax.random.choice's cumsum-and-
+        # search implementation produces wrong samples when vmapped on TPU
+        # (verified against per-track execution); argmax(logits + gumbel)
+        # vmaps exactly and is backend-stable.
         if mode == TriangulationMode.RANSAC_SAMPLE_BIASED_BASELINE:
             logits = jnp.where(pair_valid, pair_base, -jnp.inf)
-            probs = jax.nn.softmax(logits)
         else:
-            probs = pair_valid / jnp.maximum(jnp.sum(pair_valid), 1)
-        idx = jax.random.choice(key, n_pairs, shape=(num_hypotheses,), p=probs)
+            logits = jnp.where(pair_valid, 0.0, -jnp.inf)
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(key, (num_hypotheses, n_pairs), minval=1e-12, maxval=1.0)
+        ))
+        idx = jnp.argmax(logits[None, :] + gumbel, axis=-1)
         hyp_pairs = jnp.stack([pair_i[idx], pair_j[idx]], axis=-1)
 
     def score_hypothesis(pair):
         i, j = pair[0], pair[1]
-        two_mask = jnp.zeros(K, bool).at[i].set(True).at[j].set(True) & mask
+        # arithmetic mask instead of a scattered one: bool scatters inside
+        # nested vmaps lower incorrectly on TPU
+        ar = jnp.arange(K)
+        two_mask = ((ar == i) | (ar == j)) & mask
         X = triangulate_dlt_fast(wTi, xy, two_mask)
         xy_hat, depth = _reproj_and_depth(wTi, X)
         err = jnp.linalg.norm(xy_hat - xy, axis=-1)

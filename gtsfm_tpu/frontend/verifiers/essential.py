@@ -235,7 +235,10 @@ def ransac_essential(
     def sample_one(k):
         scores = jax.random.uniform(k, (K,)) * maskf
         idx = jax.lax.top_k(scores, 8)[1]
-        w = jnp.zeros(K, x1.dtype).at[idx].set(1.0) * maskf
+        # arithmetic one-hot instead of scatter (scatters in nested vmaps
+        # miscompile on TPU — see bundle/triangulation.py)
+        ar = jnp.arange(K)
+        w = jnp.any(ar[None, :] == idx[:, None], axis=0).astype(x1.dtype) * maskf
         return w
 
     keys = jax.random.split(key, opts.num_hypotheses)

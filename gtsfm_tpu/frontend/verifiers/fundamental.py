@@ -88,7 +88,8 @@ def ransac_fundamental(
     def sample_one(k):
         scores = jax.random.uniform(k, (K,)) * maskf
         idx = jax.lax.top_k(scores, 8)[1]
-        return jnp.zeros(K, uv1.dtype).at[idx].set(1.0) * maskf
+        ar = jnp.arange(K)
+        return jnp.any(ar[None, :] == idx[:, None], axis=0).astype(uv1.dtype) * maskf
 
     keys = jax.random.split(key, opts.num_hypotheses)
     sample_w = jax.vmap(sample_one)(keys)
@@ -181,7 +182,8 @@ def ransac_homography(
     def sample_one(k):
         scores = jax.random.uniform(k, (K,)) * maskf
         idx = jax.lax.top_k(scores, 4)[1]
-        return jnp.zeros(K, uv1.dtype).at[idx].set(1.0) * maskf
+        ar = jnp.arange(K)
+        return jnp.any(ar[None, :] == idx[:, None], axis=0).astype(uv1.dtype) * maskf
 
     keys = jax.random.split(key, num_hypotheses)
     sample_w = jax.vmap(sample_one)(keys)

@@ -48,7 +48,11 @@ class MVOOptions(NamedTuple):
     min_track_len: int = 2
     max_track_len: int = 15
     triangulation_mode: TriangulationMode = TriangulationMode.RANSAC_SAMPLE_UNIFORM
-    triangulation_reproj_threshold_px: float = 3.0
+    # parity: the reference triangulates with a loose 10px threshold and
+    # relies on the staged post-BA filter [10, 5, 3] (unified.yaml:95,104);
+    # a tight pre-BA threshold is brittle because averaging-initialized
+    # poses are only coarsely accurate
+    triangulation_reproj_threshold_px: float = 10.0
     triangulation_hypotheses: int = 32
     min_triangulation_angle_deg: float = 1.0
     # camera->track direction augmentation for translation averaging
