@@ -135,7 +135,11 @@ def tracks_from_matches(
         if len(np.unique(imgs)) != len(imgs):
             continue  # inconsistent track (same image twice)
         if max_track_len and len(sl) > max_track_len:
-            continue
+            # TRUNCATE long tracks to an evenly-spread subset (dropping them
+            # wholesale starves wide-visibility scenes of structure)
+            keep = np.linspace(0, len(sl) - 1, max_track_len).round().astype(int)
+            sl = sl[np.unique(keep)]
+            imgs = img_of[sl]
         tracks.append((imgs, kp_of[sl]))
 
     T = len(tracks)
