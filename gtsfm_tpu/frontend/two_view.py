@@ -85,7 +85,7 @@ def run_two_view_batch(
     keys = jax.random.split(key, P)
 
     def one_pair(xy1, xy2, d1, d2, m1, m2, c1, c2, pm, k):
-        midx, mmask, _ = match_descriptors(d1, d2, m1, m2, ratio=opts.matching_ratio)
+        midx, mmask, mscore = match_descriptors(d1, d2, m1, m2, ratio=opts.matching_ratio)
         # correspondence arrays aligned to image-1 keypoints
         corr_i1 = jnp.arange(K, dtype=jnp.int32)
         corr_i2 = jnp.where(mmask, midx, 0)
@@ -98,7 +98,11 @@ def run_two_view_batch(
         f_mean = 0.5 * (jnp.mean(jnp.atleast_1d(c1.fx)) + jnp.mean(jnp.atleast_1d(c2.fx)))
         thresh = opts.threshold_px / jnp.maximum(f_mean, 1e-6)
 
-        out = ransac_essential(x1, x2, cmask, k, threshold=thresh, opts=opts.ransac)
+        # PROSAC-lite: bias hypothesis sampling toward high-similarity matches
+        sw = jnp.clip((mscore + 1.0) * 0.5, 1e-3, 1.0) ** 4
+        out = ransac_essential(
+            x1, x2, cmask, k, threshold=thresh, opts=opts.ransac, sample_weights=sw
+        )
         R, t = out["i2Ri1"], out["i2Ui1"]
         inl = out["inliers"]
 

@@ -217,6 +217,7 @@ def ransac_essential(
     key: jax.Array,
     threshold: jnp.ndarray | float = 1e-3,
     opts: RansacOptions = RansacOptions(),
+    sample_weights: jnp.ndarray | None = None,
 ):
     """Fixed-iteration essential RANSAC on normalized correspondences.
 
@@ -231,10 +232,19 @@ def ransac_essential(
     n_valid = jnp.sum(mask)
     thresh2 = jnp.asarray(threshold) ** 2
 
-    # sample 8-tuples: random weights, top-8 trick for sampling w/o replacement
+    # sample 8-tuples without replacement. With sample_weights (e.g. match
+    # similarity scores) this is PROSAC-flavored weighted sampling via the
+    # exponential-keys trick: top-k of u^(1/w) draws proportionally to w —
+    # the analog of USAC's quality-ordered sampling for low inlier ratios.
+    if sample_weights is None:
+        sw = maskf
+    else:
+        sw = jnp.maximum(sample_weights, 1e-6) * maskf
+
     def sample_one(k):
-        scores = jax.random.uniform(k, (K,)) * maskf
-        idx = jax.lax.top_k(scores, 8)[1]
+        u = jax.random.uniform(k, (K,), minval=1e-12, maxval=1.0)
+        keys_w = jnp.where(mask, u ** (1.0 / sw), -1.0)
+        idx = jax.lax.top_k(keys_w, 8)[1]
         # arithmetic one-hot instead of scatter (scatters in nested vmaps
         # miscompile on TPU — see bundle/triangulation.py)
         ar = jnp.arange(K)

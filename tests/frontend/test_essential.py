@@ -108,3 +108,24 @@ def test_ransac_masked_padding_ignored():
     assert bool(out["success"])
     assert not np.any(np.asarray(out["inliers"])[80:])
     assert float(so3.relative_angle_deg(jnp.asarray(R), out["i2Ri1"])) < 0.5
+
+
+def test_ransac_prosac_weighting_low_inlier_regime():
+    """At 75% outliers, an all-inlier 8-sample is ~0.39^8 likely — uniform
+    sampling with 256 hypotheses usually fails, but score-weighted (PROSAC-
+    style) sampling with informative weights succeeds."""
+    R, t, x1, x2, outliers = _make_two_view(n=400, outlier_frac=0.75, noise=3e-4, seed=7)
+    rng = np.random.default_rng(8)
+    # informative quality scores: inliers score high (like match similarity)
+    scores = np.where(~outliers, rng.uniform(0.7, 1.0, 400), rng.uniform(0.0, 0.6, 400))
+    out_w = ransac_essential(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(400, bool), jax.random.PRNGKey(0),
+        threshold=3e-3, opts=RansacOptions(num_hypotheses=256),
+        sample_weights=jnp.asarray(scores.astype(np.float32)) ** 8,
+    )
+    assert bool(out_w["success"])
+    r_err = float(so3.relative_angle_deg(jnp.asarray(R), out_w["i2Ri1"]))
+    assert r_err < 1.0, r_err
+    inl = np.asarray(out_w["inliers"])
+    assert inl[~outliers].mean() > 0.8
+    assert inl[outliers].mean() < 0.05
