@@ -37,6 +37,9 @@ class RansacOptions(NamedTuple):
     min_inliers: int = 8
     polish_iterations: int = 8  # final GN polish on the essential manifold
     polish_huber: float = 2.0
+    # preemptive scoring: rank hypotheses on a fixed subset of
+    # correspondences (0 = use all); LO/final verification always use all
+    score_subset: int = 256
 
 
 def _normal_matrix(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -242,6 +245,10 @@ def ransac_essential(
         sw = jnp.maximum(sample_weights, 1e-6) * maskf
 
     def sample_one(k):
+        # weighted sampling without replacement via exponential keys:
+        # top-8 of u^(1/w) draws proportionally to w (PROSAC-style when w
+        # carries match quality). Benchmarked fastest on TPU vs inverse-CDF
+        # searchsorted and Gumbel-argmax alternatives.
         u = jax.random.uniform(k, (K,), minval=1e-12, maxval=1.0)
         keys_w = jnp.where(mask, u ** (1.0 / sw), -1.0)
         idx = jax.lax.top_k(keys_w, 8)[1]
@@ -254,10 +261,21 @@ def ransac_essential(
     keys = jax.random.split(key, opts.num_hypotheses)
     sample_w = jax.vmap(sample_one)(keys)  # (H, K)
 
+    # preemptive scoring subset (deterministic spread over the valid set)
+    if 0 < opts.score_subset < K:
+        order = jnp.argsort(~mask)  # valid first
+        sub = order[
+            (jnp.arange(opts.score_subset) * jnp.maximum(jnp.sum(mask), 1)
+             // opts.score_subset).astype(jnp.int32)
+        ]
+        xs1, xs2, ms = x1[sub], x2[sub], mask[sub]
+    else:
+        xs1, xs2, ms = x1, x2, mask
+
     def score(w):
         E = _eight_point_fast(x1, x2, w)
-        err = _sampson_error(E, x1, x2)
-        inl = mask & (err < thresh2)
+        err = _sampson_error(E, xs1, xs2)
+        inl = ms & (err < thresh2)
         return jnp.sum(inl), E
 
     votes, Es = jax.vmap(score)(sample_w)
