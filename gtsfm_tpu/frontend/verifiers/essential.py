@@ -37,6 +37,9 @@ class RansacOptions(NamedTuple):
     min_inliers: int = 8
     polish_iterations: int = 8  # final GN polish on the essential manifold
     polish_huber: float = 2.0
+    # "inliers" = vote by inlier count (USAC-style); "lmeds" = least-median-
+    # of-squares hypothesis scoring (parity: the reference's LMEDS verifier)
+    scoring: str = "inliers"
     # preemptive scoring: rank hypotheses on a fixed subset of
     # correspondences (0 = use all); LO/final verification always use all
     score_subset: int = 256
@@ -275,8 +278,12 @@ def ransac_essential(
     def score(w):
         E = _eight_point_fast(x1, x2, w)
         err = _sampson_error(E, xs1, xs2)
+        if opts.scoring == "lmeds":
+            # least median of squares: negate so argmax selects the minimum
+            med = jnp.median(jnp.where(ms, err, jnp.inf))
+            return -med, E
         inl = ms & (err < thresh2)
-        return jnp.sum(inl), E
+        return jnp.sum(inl).astype(x1.dtype), E
 
     votes, Es = jax.vmap(score)(sample_w)
     best = jnp.argmax(votes)

@@ -129,3 +129,13 @@ def test_ransac_prosac_weighting_low_inlier_regime():
     inl = np.asarray(out_w["inliers"])
     assert inl[~outliers].mean() > 0.8
     assert inl[outliers].mean() < 0.05
+
+
+def test_ransac_lmeds_scoring():
+    R, t, x1, x2, outliers = _make_two_view(n=200, outlier_frac=0.3, noise=3e-4, seed=9)
+    out = ransac_essential(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(200, bool), jax.random.PRNGKey(0),
+        threshold=3e-3, opts=RansacOptions(num_hypotheses=256, scoring="lmeds"),
+    )
+    assert bool(out["success"])
+    assert float(so3.relative_angle_deg(jnp.asarray(R), out["i2Ri1"])) < 0.5
