@@ -247,7 +247,12 @@ class SceneOptimizer:
             )
             ProcessGraphGenerator().save_graph(os.path.join(results_dir, "process_graph.dot"))
             if dense_points is not None and len(dense_points):
-                np.save(os.path.join(results_dir, "dense_points.npy"), dense_points)
+                from gtsfm_tpu.io.ply import write_ply
+
+                write_ply(
+                    os.path.join(results_dir, "dense_points.ply"),
+                    dense_points, dense_colors,
+                )
             if gs_result is not None:
                 from gtsfm_tpu.splat.gs_data import export_ply
 

@@ -35,3 +35,20 @@ def test_read_reference_colmap_scene():
     m = np.asarray(data.meas_mask)
     # A real COLMAP reconstruction should mostly reproject within a few px
     assert np.median(err[m]) < 3.0
+
+
+def test_ply_roundtrip(tmp_path):
+    from gtsfm_tpu.io.ply import read_ply, write_ply
+
+    pts = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).uniform(size=(50, 3)).astype(np.float32)
+    p = tmp_path / "cloud.ply"
+    write_ply(str(p), pts, cols)
+    pts2, cols2 = read_ply(str(p))
+    np.testing.assert_allclose(pts2, pts, atol=1e-6)
+    assert np.abs(cols2 - cols).max() < 1 / 255 + 1e-6
+    # colorless
+    write_ply(str(p), pts)
+    pts3, c3 = read_ply(str(p))
+    np.testing.assert_allclose(pts3, pts, atol=1e-6)
+    assert c3 is None
