@@ -235,3 +235,57 @@ class RotationAveraging:
         wRi_np = np.array(wRi)
         wRi_np[~valid] = np.eye(3)
         return wRi_np, valid
+
+
+def certify_rotation_solution(
+    num_images: int,
+    edges: np.ndarray,
+    i2Ri1: np.ndarray,
+    edge_weight: np.ndarray,
+    wRi: np.ndarray,
+    tol: float = 1e-6,
+) -> tuple:
+    """Global-optimality certificate for a rotation-averaging solution.
+
+    Parity: ShonanAveraging's optimality certification (shonan.py:71 wraps
+    GTSAM's checkOptimality). For the chordal cost sum_e w_e ||R_j - R_e
+    R_i||_F^2 written as x^T Q x over stacked R^T blocks, a first-order
+    critical point R* is globally optimal iff S = Lambda - Q is negative
+    semidefinite... equivalently Q - Lambda >= 0 with
+    Lambda_i = sym( sum_j Q_ij R_j R_i^T ) blocks evaluated at R*.
+    Returns (certified: bool, min_eigenvalue: float) — min eig of
+    (Q - Lambda) restricted appropriately; >= -tol certifies.
+    """
+    n = num_images
+    i1 = edges[:, 0].astype(int)
+    i2 = edges[:, 1].astype(int)
+    w = np.asarray(edge_weight, np.float64)
+    A = np.transpose(np.asarray(i2Ri1, np.float64), (0, 2, 1))  # i2Ri1^T per edge
+
+    # Q blocks for cost sum_e w ||Y_i1 - A_e Y_i2||^2, Y_i = wRi^T
+    Q = np.zeros((n, n, 3, 3))
+    eye = np.eye(3)
+    for e in range(len(edges)):
+        a, b = i1[e], i2[e]
+        Q[a, a] += w[e] * eye
+        Q[b, b] += w[e] * eye
+        Q[a, b] -= w[e] * A[e]
+        Q[b, a] -= w[e] * A[e].T
+    R = np.asarray(wRi, np.float64)
+    Y = np.transpose(R, (0, 2, 1))  # wRi^T
+
+    # Lambda_i = sym( sum_j Q_ij Y_j Y_i^T )
+    Lam = np.zeros((n, 3, 3))
+    for i in range(n):
+        M = np.zeros((3, 3))
+        for j in range(n):
+            M += Q[i, j] @ Y[j] @ Y[i].T
+        Lam[i] = 0.5 * (M + M.T)
+
+    S = Q.copy()
+    for i in range(n):
+        S[i, i] -= Lam[i]
+    Sd = S.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+    vals = np.linalg.eigvalsh(Sd)
+    min_eig = float(vals[0])
+    return min_eig >= -tol * max(1.0, abs(vals[-1])), min_eig

@@ -78,8 +78,50 @@ def mfas_outlier_weights(
     return (broken / np.maximum(total, 1e-12)).astype(np.float32)
 
 
+_MFAS_LIB = None
+
+
+def _native_mfas():
+    global _MFAS_LIB
+    if _MFAS_LIB is not None:
+        return _MFAS_LIB
+    import ctypes
+    import os
+
+    so = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libmfas.so")
+    if os.path.exists(so):
+        lib = ctypes.CDLL(so)
+        lib.mfas_order.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _MFAS_LIB = lib
+    else:
+        _MFAS_LIB = False
+    return _MFAS_LIB
+
+
 def _greedy_mfas_order(src, dst, wgt, n) -> np.ndarray:
-    """Greedy minimum-feedback-arc-set ordering (host)."""
+    """Greedy minimum-feedback-arc-set ordering (host; C++ libmfas.so when
+    built, mirroring the reference's native gtsam.MFAS, with a numpy
+    fallback)."""
+    import ctypes
+
+    lib = _native_mfas()
+    if lib:
+        out = np.empty(n, np.int64)
+        s = np.ascontiguousarray(src, np.int64)
+        d = np.ascontiguousarray(dst, np.int64)
+        w = np.ascontiguousarray(wgt, np.float64)
+        lib.mfas_order(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(len(s)), ctypes.c_int64(n),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
     win = np.zeros(n)
     wout = np.zeros(n)
     np.add.at(wout, src, wgt)

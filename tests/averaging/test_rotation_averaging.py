@@ -94,3 +94,20 @@ def test_empty_edges():
     ra = RotationAveraging()
     wRi, valid = ra.run(4, np.zeros((0, 2), np.int32), np.zeros((0, 3, 3), np.float32))
     assert not valid.any()
+
+
+def test_certification():
+    from gtsfm_tpu.averaging.rotation.averaging import certify_rotation_solution
+
+    wRi_gt, edges, i2Ri1 = _make_problem(n=8, noise_rad=0.01, seed=6)
+    ra = RotationAveraging()
+    w = np.ones(len(edges), np.float32)
+    wRi, valid = ra.run(8, edges, i2Ri1)
+    certified, min_eig = certify_rotation_solution(8, edges, i2Ri1, w, wRi)
+    assert certified, min_eig
+    # a garbage solution must NOT certify
+    import jax
+
+    bad = np.asarray(so3.random(jax.random.PRNGKey(99), (8,)))
+    certified_bad, me_bad = certify_rotation_solution(8, edges, i2Ri1, w, bad)
+    assert not certified_bad
