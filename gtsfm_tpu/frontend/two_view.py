@@ -48,6 +48,11 @@ class TwoViewOptions(NamedTuple):
     # inlier support processor (inlier_support_processor.py:19-80 defaults)
     min_num_inliers: int = 15
     min_inlier_ratio: float = 0.1
+    # GRIC-style planar-degeneracy rejection: fit a homography to the
+    # matches and reject the pair when it explains >= this fraction of the
+    # essential inliers (0 disables; parity: GricVerifier/Degensac)
+    homography_degeneracy_ratio: float = 0.0
+    homography_hypotheses: int = 128
 
 
 @struct.dataclass
@@ -125,6 +130,22 @@ def run_two_view_batch(
             & (n_inl >= opts.min_num_inliers)
             & (ratio >= opts.min_inlier_ratio)
         )
+        if opts.homography_degeneracy_ratio > 0:
+            from gtsfm_tpu.frontend.verifiers.fundamental import (
+                gric_select_model,
+                ransac_homography,
+            )
+
+            h_out = ransac_homography(
+                uv1, uv2, cmask, jax.random.fold_in(k, 1),
+                threshold_px=opts.threshold_px,
+                num_hypotheses=opts.homography_hypotheses,
+            )
+            degenerate, _hf = gric_select_model(
+                inl, h_out["inliers"], cmask,
+                h_f_inlier_ratio_threshold=opts.homography_degeneracy_ratio,
+            )
+            valid = valid & ~degenerate
         return (
             R, t, corr_i1, corr_i2, inl & valid, n_match.astype(jnp.int32),
             n_inl.astype(jnp.int32), ratio, valid,

@@ -94,3 +94,43 @@ def test_two_view_pair_mask():
     res = run_two_view_batch(**batch, key=jax.random.PRNGKey(0))
     assert not np.asarray(res.valid)[2]
     assert not np.asarray(res.corr_mask)[2].any()
+
+
+def test_two_view_homography_degeneracy_rejection():
+    """A planar scene pair should be flagged degenerate when the H check is
+    on, and kept when it is off."""
+    rng = np.random.default_rng(5)
+    n_cams, n_pts, D = 2, 200, 32
+    # all points on the plane z=5 (camera frame of cam0)
+    pts = np.stack([rng.uniform(-1.5, 1.5, n_pts), rng.uniform(-1, 1, n_pts),
+                    np.full(n_pts, 5.0)], -1).astype(np.float32)
+    pdesc = rng.normal(size=(n_pts, D)).astype(np.float32)
+    pdesc /= np.linalg.norm(pdesc, axis=-1, keepdims=True)
+    centers = np.asarray([[0, 0, 0], [0.6, 0.1, 0]], np.float32)
+    Rs = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    kp = np.zeros((2, n_pts, 2), np.float32)
+    msk = np.zeros((2, n_pts), bool)
+    dsc = np.zeros((2, n_pts, D), np.float32)
+    for i in range(2):
+        pc = pts - centers[i]
+        uv = 500.0 * pc[:, :2] / pc[:, 2:3] + np.asarray([320, 240], np.float32)
+        kp[i] = uv
+        msk[i] = True
+        dsc[i] = pdesc
+    from gtsfm_tpu.geometry import Cal3Bundler
+
+    cal = Cal3Bundler.create(jnp.full(1, 500.0), jnp.zeros(1), jnp.zeros(1),
+                             jnp.full(1, 320.0), jnp.full(1, 240.0))
+    batch = dict(
+        kp_xy1=jnp.asarray(kp[:1]), kp_xy2=jnp.asarray(kp[1:]),
+        desc1=jnp.asarray(dsc[:1]), desc2=jnp.asarray(dsc[1:]),
+        kp_mask1=jnp.asarray(msk[:1]), kp_mask2=jnp.asarray(msk[1:]),
+        cal1=cal, cal2=cal, pair_mask=jnp.ones(1, bool),
+    )
+    res_off = run_two_view_batch(**batch, key=jax.random.PRNGKey(0), opts=TwoViewOptions())
+    assert bool(np.asarray(res_off.valid)[0])
+    res_on = run_two_view_batch(
+        **batch, key=jax.random.PRNGKey(0),
+        opts=TwoViewOptions(homography_degeneracy_ratio=0.85),
+    )
+    assert not bool(np.asarray(res_on.valid)[0])
