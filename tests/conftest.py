@@ -26,3 +26,15 @@ def devices8():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs[:8]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_executable_count():
+    """Free compiled executables after each test module.
+
+    A long pytest process accumulates hundreds of live XLA CPU executables;
+    compilation then segfaults inside backend_compile (reproducible at the
+    same point twice). Clearing caches per module bounds the live set.
+    """
+    yield
+    jax.clear_caches()
