@@ -210,6 +210,21 @@ class SfmData:
             meas_mask=jnp.asarray(keep_meas),
         )
 
+    def downsample(self, max_tracks: int, seed: int = 0) -> "SfmData":
+        """Random track subset (host). Parity: GtsfmData.downsample
+        (gtsfm_data.py:1060) — used to bound export/visualization sizes."""
+        tm = np.asarray(self.track_mask)
+        alive = np.nonzero(tm)[0]
+        if len(alive) <= max_tracks:
+            return self
+        keep_idx = np.random.default_rng(seed).permutation(alive)[:max_tracks]
+        keep = np.zeros(self.max_tracks, bool)
+        keep[keep_idx] = True
+        return self.replace(
+            track_mask=jnp.asarray(keep),
+            meas_mask=self.meas_mask & jnp.asarray(keep)[self.meas_track],
+        )
+
     # ---- constructors ------------------------------------------------------
     @classmethod
     def from_cameras_and_tracks(

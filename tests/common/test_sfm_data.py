@@ -127,3 +127,17 @@ def test_jit_filter():
     f = jax.jit(lambda d: d.filter_by_reprojection_error(3.0))
     out = f(data)
     assert out.number_tracks() == 20
+
+
+def test_downsample():
+    data = make_synthetic_scene(n_tracks=20)
+    small = data.downsample(5)
+    assert small.number_tracks() == 5
+    # measurements of dropped tracks are masked
+    mt = np.asarray(small.meas_track)
+    mm_ = np.asarray(small.meas_mask)
+    tm = np.asarray(small.track_mask)
+    assert np.all(tm[mt[mm_]])
+    # reprojection still clean for survivors
+    err = np.asarray(small.reprojection_errors())
+    assert np.all(err[mm_] < 0.05)
