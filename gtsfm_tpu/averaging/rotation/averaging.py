@@ -15,7 +15,12 @@ trust-region; here the same estimate is produced by
      jit; Jacobians via vmapped forward-mode autodiff.
 Chordal + local refinement reaches the certified Shonan optimum in practice
 for inlier-dominated graphs (the cycle-consistency view-graph filter runs
-first in the pipeline); a staircase escape pass is future work.
+first in the pipeline). For adversarial graphs that fail the optimality
+certificate, `shonan_staircase` provides the SO(p) Riemannian-staircase
+escape (lift to St(3,p), follow the certificate's negative eigenvector,
+re-descend, re-certify, round back to SO(3)) — the same mechanism as GTSAM
+ShonanAveraging3's p=3..64 staircase (shonan.py:59-61), expressed as dense
+MXU matmuls over the block cost matrix instead of a CPU trust-region solver.
 """
 
 from __future__ import annotations
@@ -40,6 +45,10 @@ class RotationAveragingOptions(NamedTuple):
     # refine again (0 = disabled) — outlier edges otherwise bias the mean
     # even under Huber
     rerefine_reject_deg: float = 10.0
+    # SO(p) Riemannian-staircase escape when the chordal solution fails the
+    # global-optimality certificate (parity: ShonanAveraging3 p-staircase,
+    # shonan.py:59-61). 3 = disabled (plain chordal + GN).
+    staircase_p_max: int = 6
 
 
 def chordal_init(
@@ -99,6 +108,179 @@ def chordal_init(
     Yt = Yt.at[idx].set(Y.reshape(n - 1, 3, 3))
     R = jnp.swapaxes(Yt, -1, -2)
     return so3.project(R)
+
+
+def _build_cost_matrix(num_images, edges, i2Ri1, edge_weight) -> np.ndarray:
+    """Dense (3N, 3N) block cost matrix Q of the chordal objective.
+
+    f = sum_ij tr(G_i Q_ij G_j^T) with G_i = wRi at p=3; the same Q the
+    certificate uses (blocks of sum_e w_e ||Y_i1 - i2Ri1^T Y_i2||_F^2 with
+    Y_i = wRi^T).
+    """
+    n = num_images
+    i1 = np.asarray(edges[:, 0], int)
+    i2 = np.asarray(edges[:, 1], int)
+    w = np.asarray(edge_weight, np.float64)
+    A = np.transpose(np.asarray(i2Ri1, np.float64), (0, 2, 1))
+    Q = np.zeros((n, n, 3, 3))
+    eye = np.eye(3)
+    np.add.at(Q, (i1, i1), w[:, None, None] * eye)
+    np.add.at(Q, (i2, i2), w[:, None, None] * eye)
+    np.add.at(Q, (i1, i2), -w[:, None, None] * A)
+    np.add.at(Q, (i2, i1), -w[:, None, None] * np.transpose(A, (0, 2, 1)))
+    return Q.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+
+def _qf_retract(G: jnp.ndarray) -> jnp.ndarray:
+    """Block-wise QR retraction onto the product Stiefel St(3, p).
+
+    G: (p, 3n) with column-blocks G_i (p, 3); returns same shape with each
+    block replaced by the Q factor (sign-fixed so the map is continuous —
+    at p=3 this preserves det(G_i) = +1, keeping iterates in SO(3)^n).
+    """
+    p = G.shape[0]
+    n = G.shape[1] // 3
+    B = G.reshape(p, n, 3).transpose(1, 0, 2)  # (n, p, 3)
+    q, r = jnp.linalg.qr(B)
+    sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    q = q * sgn[:, None, :]
+    return q.transpose(1, 0, 2).reshape(p, 3 * n)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _stiefel_descend(Q: jnp.ndarray, G0: jnp.ndarray, iters: int = 150):
+    """Riemannian gradient descent of f(G) = tr(G Q G^T) over St(3,p)^n.
+
+    Adaptive step with accept/reject inside a lax.scan — dense matmuls only
+    (MXU work). Returns (G, final cost).
+    """
+    p = G0.shape[0]
+    n = G0.shape[1] // 3
+
+    def cost(G):
+        return jnp.sum(mm(G, Q) * G)
+
+    def rgrad(G):
+        E = 2.0 * mm(G, Q)  # Euclidean gradient
+        Gb = G.reshape(p, n, 3)
+        Eb = E.reshape(p, n, 3)
+        M = p_einsum("pni,pnj->nij", Gb, Eb)
+        M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        tang = Eb - p_einsum("pni,nij->pnj", Gb, M)
+        return tang.reshape(p, 3 * n)
+
+    # initial step from the gradient scale
+    g0 = rgrad(G0)
+    gnorm = jnp.linalg.norm(g0) + 1e-12
+    step0 = 0.1 / gnorm * jnp.sqrt(jnp.asarray(3.0 * n))
+
+    def body(carry, _):
+        G, step, f = carry
+        g = rgrad(G)
+        cand = _qf_retract(G - step * g)
+        f_cand = cost(cand)
+        accept = f_cand < f
+        G_next = jnp.where(accept, cand, G)
+        step_next = jnp.clip(jnp.where(accept, step * 1.4, step * 0.4), 1e-14, 1e6)
+        return (G_next, step_next, jnp.where(accept, f_cand, f)), None
+
+    (G_f, _, f_f), _ = jax.lax.scan(body, (G0, step0, cost(G0)), None, length=iters)
+    return G_f, f_f
+
+
+def _certificate_from_G(Q64: np.ndarray, G: np.ndarray, tol: float):
+    """(certified, min_eig, eigvec) of S = Q - blockdiag(Lambda) at G."""
+    n = Q64.shape[0] // 3
+    G = np.asarray(G, np.float64)
+    M = Q64 @ (G.T @ G)
+    S = Q64.copy()
+    for i in range(n):
+        blk = M[3 * i : 3 * i + 3, 3 * i : 3 * i + 3]
+        S[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] -= 0.5 * (blk + blk.T)
+    vals, vecs = np.linalg.eigh(S)
+    scale = max(1.0, abs(vals[-1]))
+    return vals[0] >= -tol * scale, float(vals[0]), vecs[:, 0]
+
+
+def _round_to_so3(G: np.ndarray) -> np.ndarray:
+    """Round a rank-p staircase solution to SO(3)^n (SE-Sync-style).
+
+    Top-3 SVD of G (the left O(p) factor is gauge), global reflection fix by
+    majority determinant, then per-block projection to the nearest rotation.
+    """
+    n = G.shape[1] // 3
+    _, s, Vt = np.linalg.svd(np.asarray(G, np.float64), full_matrices=False)
+    Gh = (s[:3, None] * Vt[:3]).reshape(3, n, 3).transpose(1, 0, 2)  # (n, 3, 3)
+    dets = np.linalg.det(Gh)
+    if np.median(dets) < 0:
+        Gh = Gh * np.array([1.0, 1.0, -1.0])[None, :, None]
+    return np.asarray(so3.project(jnp.asarray(Gh, jnp.float32)))
+
+
+def shonan_staircase(
+    num_images: int,
+    edges: np.ndarray,
+    i2Ri1: np.ndarray,
+    edge_weight: np.ndarray,
+    wRi_init: np.ndarray,
+    p_max: int = 6,
+    descent_iters: int = 150,
+    tol: float = 1e-6,
+) -> tuple:
+    """SO(p) Riemannian staircase for globally-optimal rotation averaging.
+
+    Parity: GTSAM ShonanAveraging3's p=3..64 staircase as used by
+    ShonanRotationAveraging (shonan.py:39,59-61). TPU-first: the chordal
+    cost is a single dense (3N,3N) matrix; each rung is jit-compiled
+    Riemannian gradient descent over the product Stiefel manifold (pure
+    matmuls + blocked QR), the certificate is one eigendecomposition, and
+    the escape direction is the certificate's negative eigenvector lifted
+    to the new rank (second-order descent direction, SE-Sync Prop. 12).
+
+    Returns (wRi [N,3,3] float32, certified: bool, min_eig: float).
+    """
+    Q64 = _build_cost_matrix(num_images, edges, i2Ri1, edge_weight)
+    Q32 = jnp.asarray(Q64, jnp.float32)
+    # G at p=3 stacks the rotations themselves: G[:, 3i:3i+3] = wRi[i]
+    G = np.asarray(wRi_init, np.float64).transpose(1, 0, 2).reshape(3, 3 * num_images)
+
+    certified, min_eig = False, -np.inf
+    for p in range(3, p_max + 1):
+        G_j, _ = _stiefel_descend(Q32, jnp.asarray(G, jnp.float32), iters=descent_iters)
+        G = np.asarray(G_j, np.float64)
+        certified, min_eig, v = _certificate_from_G(Q64, G, tol)
+        if certified or p == p_max:
+            break
+        # lift one rank and escape along the negative-curvature direction:
+        # new row = eigenvector v (per-block tangent e_{p+1} v_i^T)
+        G_lift = np.vstack([G, np.zeros(3 * num_images)])
+        D = np.zeros_like(G_lift)
+        D[-1] = v
+        f0 = float(np.sum((G_lift @ Q64) * G_lift))
+        best, best_f = G_lift, f0
+        for t in np.geomspace(1e-3, 10.0, 12):
+            for sgn in (1.0, -1.0):
+                cand = np.asarray(
+                    _qf_retract(jnp.asarray(G_lift + sgn * t * D, jnp.float32)), np.float64
+                )
+                f = float(np.sum((cand @ Q64) * cand))
+                if f < best_f:
+                    best, best_f = cand, f
+        G = best
+
+    wRi = _round_to_so3(G)
+    if G.shape[0] > 3:
+        # polish the rounded solution at p=3 and re-certify it
+        G3 = wRi.astype(np.float64).transpose(1, 0, 2).reshape(3, 3 * num_images)
+        G3_j, _ = _stiefel_descend(Q32, jnp.asarray(G3, jnp.float32), iters=descent_iters)
+        G3 = np.asarray(G3_j, np.float64)
+        certified, min_eig, _ = _certificate_from_G(Q64, G3, tol)
+        wRi = _round_to_so3(G3)
+    # anchor: left-multiply so camera 0 is identity (cost is left-invariant)
+    S0 = wRi[0].T.copy()
+    wRi = np.einsum("ij,njk->nik", S0, wRi).astype(np.float32)
+    return np.asarray(so3.project(jnp.asarray(wRi))), certified, min_eig
 
 
 def _edge_residual(wRi1, wRi2, R_e):
@@ -223,6 +405,17 @@ class RotationAveraging:
             num_images, jnp.asarray(edges), jnp.asarray(i2Ri1, jnp.float32), jnp.asarray(w),
             anchor=anchor,
         )
+        self.last_certified = None
+        if self.options.staircase_p_max > 3:
+            # descend the chordal cost to a critical point, certify global
+            # optimality, and climb the SO(p) staircase if the certificate
+            # fails (ShonanAveraging3 parity)
+            wRi_st, certified, min_eig = shonan_staircase(
+                num_images, edges, np.asarray(i2Ri1, np.float32), np.asarray(w),
+                np.asarray(wRi0), p_max=self.options.staircase_p_max,
+            )
+            wRi0 = jnp.asarray(wRi_st)
+            self.last_certified = (certified, min_eig)
         edges_j = jnp.asarray(edges)
         R_j = jnp.asarray(i2Ri1, jnp.float32)
         wRi = _refine(num_images, wRi0, edges_j, R_j, jnp.asarray(w), self.options)

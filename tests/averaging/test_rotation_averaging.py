@@ -111,3 +111,62 @@ def test_certification():
     bad = np.asarray(so3.random(jax.random.PRNGKey(99), (8,)))
     certified_bad, me_bad = certify_rotation_solution(8, edges, i2Ri1, w, bad)
     assert not certified_bad
+
+
+def _make_ring(n, seed, scale=np.pi * 0.9):
+    """Cycle graph with large GT rotations — adversarial for local descent."""
+    rng = np.random.default_rng(seed)
+    ws = rng.normal(size=(n, 3))
+    ws = ws / np.linalg.norm(ws, axis=-1, keepdims=True) * rng.uniform(0.5, 1, (n, 1)) * scale
+    wRi = np.asarray(so3.expmap(jnp.asarray(ws, jnp.float32)))
+    edges = np.array([(i, i + 1) for i in range(n - 1)] + [(0, n - 1)], np.int32)
+    i2Ri1 = np.einsum("eij,eik->ejk", wRi[edges[:, 1]], wRi[edges[:, 0]])
+    return wRi, edges, i2Ri1.astype(np.float32)
+
+
+def test_staircase_escapes_suboptimal_critical_point():
+    """p=3 descent from identity lands in a certified-suboptimal critical
+    point on this ring; the SO(p) staircase must escape to the certified
+    global optimum (ShonanAveraging3 staircase parity)."""
+    from gtsfm_tpu.averaging.rotation.averaging import (
+        _build_cost_matrix,
+        _certificate_from_G,
+        _stiefel_descend,
+        shonan_staircase,
+    )
+
+    n = 6
+    wRi_gt, edges, i2Ri1 = _make_ring(n, seed=6)
+    w = np.ones(len(edges))
+    Q64 = _build_cost_matrix(n, edges, i2Ri1, w)
+    G0 = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (1, n)))
+    G, _ = _stiefel_descend(jnp.asarray(Q64, jnp.float32), G0, iters=300)
+    stuck_cert, stuck_eig, _ = _certificate_from_G(Q64, np.asarray(G, np.float64), 1e-6)
+    assert not stuck_cert and stuck_eig < -0.5  # genuinely stuck
+
+    wRi, certified, min_eig = shonan_staircase(
+        n, edges, i2Ri1, w, np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)),
+        p_max=6, descent_iters=300,
+    )
+    assert certified, min_eig
+    assert _max_aligned_err_deg(wRi, wRi_gt) < 0.5
+
+
+def test_staircase_certifies_clean_problem_at_p3():
+    """On an easy graph the staircase terminates at p=3, already certified."""
+    from gtsfm_tpu.averaging.rotation.averaging import shonan_staircase
+
+    wRi_gt, edges, i2Ri1 = _make_problem(n=8, seed=11)
+    w = np.ones(len(edges))
+    wRi0 = np.asarray(chordal_init(8, jnp.asarray(edges), jnp.asarray(i2Ri1), jnp.asarray(w, jnp.float32)))
+    wRi, certified, min_eig = shonan_staircase(8, edges, i2Ri1, w, wRi0)
+    assert certified, min_eig
+    assert _max_aligned_err_deg(wRi, wRi_gt) < 0.5
+
+
+def test_run_reports_certificate():
+    wRi_gt, edges, i2Ri1 = _make_problem(n=8, seed=12)
+    ra = RotationAveraging()
+    wRi, valid = ra.run(8, edges, i2Ri1)
+    assert ra.last_certified is not None and ra.last_certified[0]
+    assert _max_aligned_err_deg(wRi, wRi_gt) < 0.1
