@@ -46,6 +46,12 @@ class BAOptions(NamedTuple):
     robust_mode: str = "huber"
     gnc_mu_init: float = 64.0
     gnc_gamma: float = 0.5  # mu <- mu * gamma each outer iteration, floor 1
+    # after a GNC solve, drop measurements whose final robust factor weight
+    # falls below this, then drop tracks shorter than min_track_length
+    # (parity: __filter_tracks_by_factor_weights, bundle_adjustment.py:433-486
+    # gated by factor_weight_outlier_threshold, default 0 = off)
+    gnc_weight_threshold: float = 0.0
+    min_track_length: int = 2
     optimize_intrinsics: bool = False
     # project per-camera intrinsics deltas onto their mean each step
     # (block-Jacobi treatment of the shared-calibration variable; parity:
@@ -462,6 +468,21 @@ class BundleAdjustment:
             "iterations": int(self.options.max_iterations),
             "cost_history": [float(c) for c in hist],
         }
+        opts = self.options
+        if opts.robust_mode == "gnc_gm" and opts.gnc_weight_threshold > 0:
+            # final GNC factor weights at converged mu=1: ((c^2/(r^2+c^2))^2;
+            # measurements the graduated loss has annealed away are outliers
+            r, depth = _residuals(problem_from_sfm_data(out))
+            nrm2 = jnp.sum(r * r, axis=-1)
+            c2 = opts.robust_huber_px**2
+            w_gnc = (c2 / (nrm2 + c2)) ** 2 * (depth > 1e-6)
+            keep = out.meas_mask & (w_gnc >= opts.gnc_weight_threshold)
+            out = out.replace(meas_mask=keep).filter_by_track_length(
+                opts.min_track_length
+            )
+            metrics["gnc_measurements_removed"] = int(
+                jnp.sum(data.meas_mask) - jnp.sum(out.meas_mask)
+            )
         return out, metrics
 
     def run_staged(self, data: SfmData, reproj_thresholds=(10.0, 5.0, 3.0), fixed_cam=None):

@@ -53,6 +53,12 @@ class TwoViewOptions(NamedTuple):
     # essential inliers (0 disables; parity: GricVerifier/Degensac)
     homography_degeneracy_ratio: float = 0.0
     homography_hypotheses: int = 128
+    # indeterminate-linear-system rejection: discard the pair when the 5-dof
+    # relative-pose GN information matrix at the solution is near-singular
+    # (parity: the reference's 2-view marginal-covariance check,
+    # bundle_adjustment.py:566-579 with allow_indeterminate_linear_system=
+    # False; 0 disables = the reference's default allow=True)
+    indeterminacy_eig_ratio: float = 0.0
 
 
 @struct.dataclass
@@ -130,6 +136,15 @@ def run_two_view_batch(
             & (n_inl >= opts.min_num_inliers)
             & (ratio >= opts.min_inlier_ratio)
         )
+        if opts.indeterminacy_eig_ratio > 0:
+            from gtsfm_tpu.frontend.verifiers.essential import (
+                essential_information_spectrum,
+            )
+
+            min_eig, max_eig = essential_information_spectrum(
+                x1, x2, inl.astype(x1.dtype), R, t
+            )
+            valid = valid & (min_eig > opts.indeterminacy_eig_ratio * jnp.maximum(max_eig, 1e-12))
         if opts.homography_degeneracy_ratio > 0:
             from gtsfm_tpu.frontend.verifiers.fundamental import (
                 gric_select_model,

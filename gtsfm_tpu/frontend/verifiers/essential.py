@@ -95,6 +95,41 @@ def _sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndar
     return num / jnp.maximum(den, 1e-12)
 
 
+def essential_information_spectrum(x1, x2, w, R, t):
+    """Eigenvalue range (min, max) of the 5-dof relative-pose GN information.
+
+    The TPU-native equivalent of the reference's two-view indeterminate-
+    linear-system check (bundle_adjustment.py:566-579: gtsam.Marginals
+    throws on a singular 2-view BA system and the pair is discarded).
+    Here the relative pose lives on the essential manifold, so the signal
+    is the spectrum of H = J^T W J for the Sampson residual w.r.t. the
+    5-dof tangent (3 rotation + 2 translation-direction): a near-zero
+    minimum eigenvalue relative to the maximum means the matched points do
+    not determine the pose (degenerate geometry). Vmappable; (min, max).
+    """
+
+    def basis(t_):
+        a = jnp.where(
+            jnp.abs(t_[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0])
+        )
+        b1 = jnp.cross(t_, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t_, b1)
+        return jnp.stack([b1, b2], axis=-1)
+
+    def residual(params):
+        Rn = mm(R, so3.expmap(params[:3]))
+        tn = t + basis(t) @ params[3:]
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        E = mm(so3.hat(tn), Rn)
+        return jnp.sqrt(jnp.maximum(_sampson_error(E, x1, x2), 1e-18))
+
+    J = jax.jacfwd(residual)(jnp.zeros(5))  # (K, 5)
+    H = p_einsum("ki,kj->ij", J * w[:, None], J)
+    eigs = jnp.linalg.eigvalsh(H)
+    return eigs[0], eigs[-1]
+
+
 def _triangulate_midpoint(R, t, x1, x2):
     """Cheap 2-view triangulation for cheirality: returns depths (z1, z2).
 

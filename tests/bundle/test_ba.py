@@ -209,3 +209,36 @@ def test_ba_absolute_pose_priors():
     )
     t_err = np.abs(np.asarray(opt.poses.t) - np.asarray(gt.poses.t)).max()
     assert t_err < 0.05, t_err
+
+
+def test_ba_gnc_factor_weight_filtering():
+    """With gnc_weight_threshold set, annealed-away outlier measurements are
+    removed from the tracks after the solve (factor-weight filtering parity)."""
+    gt = make_synthetic_scene(n_cams=5, n_tracks=50)
+    noisy = _perturb(gt, pose_sigma=0.01, point_sigma=0.02, seed=7)
+    uv = np.asarray(noisy.meas_uv).copy()
+    out_idx = np.arange(0, len(uv), 13)
+    uv[out_idx] += 120.0
+    noisy = noisy.replace(meas_uv=jnp.asarray(uv))
+    fixed = jnp.zeros(5, bool).at[0].set(True)
+    gnc = BundleAdjustment(
+        BAOptions(max_iterations=40, robust_mode="gnc_gm", robust_huber_px=3.0,
+                  gnc_weight_threshold=0.25)
+    )
+    opt, m = gnc.run(noisy, fixed_cam=fixed)
+    keep = np.asarray(opt.meas_mask)
+    base = np.asarray(noisy.meas_mask)
+    # every corrupted measurement that was alive is now masked out
+    corrupted_alive = base[out_idx]
+    assert not keep[out_idx][corrupted_alive].any()
+    # the vast majority of clean measurements survive
+    clean = np.ones(len(uv), bool)
+    clean[out_idx] = False
+    survival = keep[clean & base].mean()
+    assert survival > 0.95, survival
+    assert m["gnc_measurements_removed"] >= corrupted_alive.sum()
+    # no track shorter than 2 measurements remains
+    counts = np.zeros(opt.max_tracks, int)
+    np.add.at(counts, np.asarray(opt.meas_track)[keep], 1)
+    tm = np.asarray(opt.track_mask)
+    assert (counts[tm] >= 2).all()

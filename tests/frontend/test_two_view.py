@@ -134,3 +134,56 @@ def test_two_view_homography_degeneracy_rejection():
         opts=TwoViewOptions(homography_degeneracy_ratio=0.85),
     )
     assert not bool(np.asarray(res_on.valid)[0])
+
+
+def test_two_view_indeterminacy_rejection():
+    """A pair whose correspondences are all clustered at one image location
+    cannot determine the relative pose; the information-spectrum check must
+    reject it (2-view indeterminate-linear-system parity) while leaving
+    well-conditioned pairs untouched."""
+    scene, pairs, batch = make_pair_batch(seed=7)
+    kp1 = np.asarray(batch["kp_xy1"]).copy()
+    kp2 = np.asarray(batch["kp_xy2"]).copy()
+    rng = np.random.default_rng(8)
+    # collapse pair 0's keypoints to a single pixel (+tiny jitter so the
+    # 5-pt solver doesn't produce exact NaNs)
+    kp1[0] = kp1[0][:1] + 0.1 * rng.normal(size=kp1[0].shape).astype(np.float32)
+    kp2[0] = kp2[0][:1] + 0.1 * rng.normal(size=kp2[0].shape).astype(np.float32)
+    batch["kp_xy1"] = jnp.asarray(kp1)
+    batch["kp_xy2"] = jnp.asarray(kp2)
+
+    opts_on = TwoViewOptions(
+        ransac=RansacOptions(num_hypotheses=128), indeterminacy_eig_ratio=1e-5
+    )
+    res_on = run_two_view_batch(**batch, key=jax.random.PRNGKey(0), opts=opts_on)
+    valid_on = np.asarray(res_on.valid)
+    assert not valid_on[0]
+    assert valid_on[1:].all()
+
+    opts_off = TwoViewOptions(ransac=RansacOptions(num_hypotheses=128))
+    res_off = run_two_view_batch(**batch, key=jax.random.PRNGKey(0), opts=opts_off)
+    assert np.asarray(res_off.valid)[1:].all()
+
+
+def test_essential_information_spectrum_conditioning():
+    from gtsfm_tpu.frontend.verifiers.essential import (
+        essential_information_spectrum,
+    )
+
+    scene, pairs, batch = make_pair_batch(seed=9)
+    res = run_two_view_batch(**batch, key=jax.random.PRNGKey(0))
+    # well-conditioned pair: healthy eigenvalue ratio
+    x1 = jax.tree.map(lambda a: a[0], batch["cal1"]).calibrate(batch["kp_xy1"][0])
+    x2 = jax.tree.map(lambda a: a[0], batch["cal2"]).calibrate(
+        batch["kp_xy2"][0][np.asarray(res.corr_i2)[0]]
+    )
+    w = np.asarray(res.corr_mask)[0].astype(np.float32)
+    mn, mx = essential_information_spectrum(x1, x2, jnp.asarray(w), res.i2Ri1[0], res.i2Ui1[0])
+    assert float(mn) > 1e-4 * float(mx)
+    # degenerate: all weight on a single correspondence -> rank deficient
+    w1 = np.zeros_like(w)
+    w1[np.argmax(w)] = 1.0
+    mn1, mx1 = essential_information_spectrum(
+        x1, x2, jnp.asarray(w1), res.i2Ri1[0], res.i2Ui1[0]
+    )
+    assert float(mn1) < 1e-6 * float(mx1)
