@@ -78,6 +78,20 @@ class LoaderBase:
         """GT pose wTi if known, else None."""
         return None
 
+    def is_valid_pair(self, idx1: int, idx2: int) -> bool:
+        """Whether (idx1, idx2), idx1 < idx2, may be matched. Loaders with
+        temporal ordering or benchmark pair lists restrict this (parity:
+        loader_base.is_valid_pair / valid-pair enumeration :600)."""
+        return 0 <= idx1 < idx2 < len(self)
+
+    def valid_pairs(self) -> np.ndarray:
+        """All loader-valid (i, j) pairs as an (E, 2) int array."""
+        n = len(self)
+        return np.array(
+            [(i, j) for i in range(n) for j in range(i + 1, n) if self.is_valid_pair(i, j)],
+            np.int32,
+        ).reshape(-1, 2)
+
     # ---- resolution-capped access -----------------------------------------
     def _scale_for(self, index: int, h: int, w: int) -> float:
         """Downscale factor so the short side <= max_resolution (mirrors the

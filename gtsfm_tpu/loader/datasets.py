@@ -14,7 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from gtsfm_tpu.geometry import SE3, Cal3_S2
+from gtsfm_tpu.geometry import SE3, Cal3_S2, Cal3Bundler
 from gtsfm_tpu.io import colmap as colmap_io
 from gtsfm_tpu.loader.base import LoaderBase, read_image
 
@@ -181,3 +181,182 @@ class OneDSFMLoader(LoaderBase):
 
     def _get_intrinsics_full_res(self, index):
         return None  # EXIF fallback in LoaderBase
+
+
+def _quat_wxyz_to_R(q) -> np.ndarray:
+    """Quaternion (w, x, y, z) -> rotation matrix, host-side numpy."""
+    w, x, y, z = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+class ArgoverseLoader(LoaderBase):
+    """Argoverse v1 tracking logs: one ring camera of a vehicle log.
+
+    Parity: loader/argoverse_dataset_loader.py (stride subsampling, frame
+    cap, lookahead-limited pairs, city-frame GT poses re-anchored to the
+    first camera). Reads the raw log directory directly (poses/*.json +
+    vehicle_calibration_info.json) instead of the argoverse SDK.
+    """
+
+    FRAME_RATE = 30  # ring camera Hz (argoverse_dataset_loader.py:20)
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        log_id: str,
+        stride: int = 5,
+        max_num_imgs: int = 20,
+        max_lookahead_sec: float = 2.0,
+        camera_name: str = "ring_front_center",
+        max_resolution: int = 760,
+    ):
+        super().__init__(max_resolution=max_resolution)
+        log_dir = os.path.join(dataset_dir, log_id)
+        self._log_dir = log_dir
+        self._camera_name = camera_name
+        self._max_lookahead = max_lookahead_sec * self.FRAME_RATE / stride
+
+        # calibration: intrinsics + egovehicle_SE3_camera for this camera
+        import json
+
+        with open(os.path.join(log_dir, "vehicle_calibration_info.json")) as f:
+            calib = json.load(f)
+        cam = next(
+            c["value"] for c in calib["camera_data_"]
+            if c["key"] == f"image_raw_{camera_name}"
+        )
+        fx, fy = cam["focal_length_x_px_"], cam["focal_length_y_px_"]
+        assert abs(fx - fy) < 0.1, "argoverse ring cameras have square pixels"
+        self._cal = Cal3Bundler.create(
+            float(fx), 0.0, 0.0,
+            float(cam["focal_center_x_px_"]), float(cam["focal_center_y_px_"]),
+        )
+        ext = cam["vehicle_SE3_camera_"]
+        R_vc = _quat_wxyz_to_R(ext["rotation"]["coefficients"])
+        t_vc = np.asarray(ext["translation"], np.float64)
+        self._ego_T_cam = (R_vc, t_vc)  # egovehicle_SE3_camera
+
+        # ordered frames; keep only those with a GT egovehicle pose
+        img_glob = os.path.join(log_dir, camera_name, f"{camera_name}_*.jpg")
+        paths = sorted(glob.glob(img_glob))
+        stamps = [int(os.path.splitext(os.path.basename(p))[0].split("_")[-1]) for p in paths]
+        keep = [
+            (p, ts) for p, ts in zip(paths, stamps)
+            if os.path.exists(self._pose_path(ts))
+        ]
+        keep = keep[::stride][:max_num_imgs]
+        self._image_paths = [p for p, _ in keep]
+        self._timestamps = [ts for _, ts in keep]
+
+        # anchor the world frame at the first camera (city frame otherwise)
+        self._anchor = None
+        if self._timestamps:
+            R0, t0 = self._city_T_cam(self._timestamps[0])
+            self._anchor = (R0.T, -R0.T @ t0)  # cam0_T_city
+
+    def _pose_path(self, ts: int) -> str:
+        return os.path.join(self._log_dir, "poses", f"city_SE3_egovehicle_{ts}.json")
+
+    def _city_T_cam(self, ts: int):
+        import json
+
+        with open(self._pose_path(ts)) as f:
+            d = json.load(f)
+        R_ce = _quat_wxyz_to_R(d["rotation"])
+        t_ce = np.asarray(d["translation"], np.float64)
+        R_vc, t_vc = self._ego_T_cam
+        return R_ce @ R_vc, R_ce @ t_vc + t_ce
+
+    def __len__(self):
+        return len(self._image_paths)
+
+    def _get_image_full_res(self, index):
+        return read_image(self._image_paths[index])
+
+    def _get_intrinsics_full_res(self, index):
+        return self._cal
+
+    def get_camera_pose(self, index):
+        R, t = self._city_T_cam(self._timestamps[index])
+        Ra, ta = self._anchor
+        return SE3(
+            R=jnp.asarray(Ra @ R, jnp.float32), t=jnp.asarray(Ra @ t + ta, jnp.float32)
+        )
+
+    def is_valid_pair(self, idx1: int, idx2: int) -> bool:
+        return super().is_valid_pair(idx1, idx2) and (idx2 < idx1 + self._max_lookahead)
+
+
+class YfccImbLoader(LoaderBase):
+    """Image-Matching-Benchmark YFCC scenes.
+
+    Parity: loader/yfcc_imb_loader.py — the pair list comes from the
+    benchmark's co-visibility files (new-vis-pairs/keys-th-X.X.npy with
+    "name1-name2" entries), per-image calibration from
+    calibration/calibration_<name>.h5 (R/T = cTw, K), poses inverted to
+    wTi and K under-parameterized to Cal3Bundler with f = (fx + fy) / 2.
+    """
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        co_visibility_threshold: float = 0.1,
+        max_resolution: int = 760,
+    ):
+        super().__init__(max_resolution=max_resolution)
+        self._dataset_dir = dataset_dir
+        vis_file = os.path.join(
+            dataset_dir, "new-vis-pairs", f"keys-th-{co_visibility_threshold:0.1f}.npy"
+        )
+        names = set()
+        pairs = set()
+        for entry in np.load(vis_file):
+            f1, f2 = str(entry).split("-")
+            names.update((f1, f2))
+            pairs.add((min(f1, f2), max(f1, f2)))
+        self._image_names = sorted(names)
+        idx = {n: i for i, n in enumerate(self._image_names)}
+        self._pairs = {tuple(sorted((idx[a], idx[b]))) for a, b in pairs}
+        self._calibrations = [self._read_calibration(n) for n in self._image_names]
+
+    def _read_calibration(self, name: str):
+        import h5py
+
+        path = os.path.join(self._dataset_dir, "calibration", f"calibration_{name}.h5")
+        with h5py.File(path, "r") as f:
+            R_cw = np.asarray(f["R"], np.float64)
+            t_cw = np.asarray(f["T"], np.float64).reshape(3)
+            K = np.asarray(f["K"], np.float64)
+        cal = Cal3Bundler.create(
+            float(0.5 * (K[0, 0] + K[1, 1])), 0.0, 0.0, float(K[0, 2]), float(K[1, 2])
+        )
+        wTi = SE3(
+            R=jnp.asarray(R_cw.T, jnp.float32),
+            t=jnp.asarray(-R_cw.T @ t_cw, jnp.float32),
+        )
+        return cal, wTi
+
+    def __len__(self):
+        return len(self._image_names)
+
+    def image_filenames(self):
+        return list(self._image_names)
+
+    def _get_image_full_res(self, index):
+        path = os.path.join(self._dataset_dir, "images", f"{self._image_names[index]}.jpg")
+        return read_image(path)
+
+    def _get_intrinsics_full_res(self, index):
+        return self._calibrations[index][0]
+
+    def get_camera_pose(self, index):
+        return self._calibrations[index][1]
+
+    def is_valid_pair(self, idx1: int, idx2: int) -> bool:
+        return super().is_valid_pair(idx1, idx2) and (idx1, idx2) in self._pairs

@@ -101,3 +101,53 @@ def test_hilti_loader():
     # relative pose within the same rig must be a valid SE3
     R0 = np.asarray(rel.R)[0]
     assert abs(np.linalg.det(R0) - 1.0) < 1e-4
+
+
+@needs("argoverse/train1/273c1883-673a-36bf-b124-88311b1a80be")
+def test_argoverse_loader():
+    from gtsfm_tpu.loader.datasets import ArgoverseLoader
+
+    L = ArgoverseLoader(
+        os.path.join(REF, "argoverse/train1"),
+        log_id="273c1883-673a-36bf-b124-88311b1a80be",
+        stride=1, max_num_imgs=20, max_resolution=320,
+    )
+    assert len(L) == 2
+    img = L.get_image(0)
+    assert min(img.height, img.width) <= 320
+    cal = L.get_camera_intrinsics(0)
+    assert float(np.asarray(cal.f)) > 100
+    # world frame anchored at camera 0
+    p0 = L.get_camera_pose(0)
+    np.testing.assert_allclose(np.asarray(p0.R), np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p0.t), 0.0, atol=1e-5)
+    p1 = L.get_camera_pose(1)
+    R1 = np.asarray(p1.R)
+    np.testing.assert_allclose(R1 @ R1.T, np.eye(3), atol=1e-5)
+    assert np.linalg.norm(np.asarray(p1.t)) > 0.1  # vehicle moved
+    # lookahead pair limit: 2s * 30Hz / stride 1 = 60 frames
+    assert L.is_valid_pair(0, 1)
+    assert not L.is_valid_pair(1, 0)
+
+
+@needs("imb_reichstag")
+def test_yfcc_imb_loader():
+    from gtsfm_tpu.loader.datasets import YfccImbLoader
+
+    L = YfccImbLoader(os.path.join(REF, "imb_reichstag"), co_visibility_threshold=0.1,
+                      max_resolution=320)
+    assert len(L) > 0
+    cal = L.get_camera_intrinsics(0)
+    assert float(np.asarray(cal.f)) > 100
+    pose = L.get_camera_pose(0)
+    R = np.asarray(pose.R)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    pairs = L.valid_pairs()
+    assert len(pairs) > 0
+    assert all(L.is_valid_pair(i, j) for i, j in pairs[:10])
+    # a higher threshold admits no more pairs than a lower one
+    L9 = YfccImbLoader(os.path.join(REF, "imb_reichstag"), co_visibility_threshold=0.9,
+                       max_resolution=320)
+    assert len(L9.valid_pairs()) <= len(pairs)
+    img = L.get_image(0)
+    assert min(img.height, img.width) <= 320
