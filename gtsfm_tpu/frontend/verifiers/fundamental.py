@@ -25,6 +25,15 @@ class FundamentalOptions(NamedTuple):
     num_hypotheses: int = 512
     lo_rounds: int = 3
     min_inliers: int = 8
+    # DEGENSAC (Chum et al., "Two-View Geometry Estimation Unaffected by a
+    # Dominant Plane"; parity: frontend/verifier/degensac.py via pydegensac):
+    # when a homography explains >= h_ratio of the F inliers, the epipolar
+    # geometry was likely fit to the plane; re-estimate F by plane-and-
+    # parallax (F = [e']_x H with the epipole voted by off-plane points)
+    # and keep whichever model scores more inliers.
+    degensac: bool = False
+    degensac_h_ratio: float = 0.7
+    degensac_h_hypotheses: int = 128
 
 
 def _hartley_normalize(x: jnp.ndarray, w: jnp.ndarray):
@@ -117,6 +126,16 @@ def ransac_fundamental(
 
     mults = jnp.linspace(2.0, 1.0, opts.lo_rounds)
     F_final, _ = jax.lax.scan(lo_round, _rank2(F_best), mults)
+
+    if opts.degensac:
+        F_final = _degensac_recover(
+            x1n, x2n, mask, F_final, thresh2, jax.random.fold_in(key, 77),
+            h_ratio=opts.degensac_h_ratio,
+            h_hypotheses=opts.degensac_h_hypotheses,
+            lo_round=lo_round,
+            lo_mults=mults,
+        )
+
     err = _sampson_f(F_final, x1n, x2n)
     inliers = mask & (err < thresh2)
     # denormalize: F = T2^T Fn T1
@@ -128,6 +147,89 @@ def ransac_fundamental(
         "num_inliers": jnp.sum(inliers),
         "success": (jnp.sum(inliers) >= opts.min_inliers),
     }
+
+
+def _degensac_recover(x1n, x2n, mask, F, thresh2, key, h_ratio, h_hypotheses,
+                      lo_round, lo_mults):
+    """Plane-and-parallax re-estimation when F was fit to a dominant plane.
+
+    All in Hartley-normalized coordinates. 1) RANSAC a homography over the
+    F inliers; 2) if it explains >= h_ratio of them, the sample geometry is
+    H-degenerate; 3) vote the epipole e' from the off-plane inliers (each
+    contributes the line p2 x H p1, all of which pass through e'),
+    4) candidate F_pp = [e']_x H, LO-polished; keep the better scorer.
+    """
+    f_err = _sampson_f(F, x1n, x2n)
+    f_inl = mask & (f_err < thresh2)
+    w_inl = f_inl.astype(x1n.dtype)
+    K = x1n.shape[0]
+
+    # homography RANSAC restricted to the F inliers
+    def sample_one(k):
+        scores = jax.random.uniform(k, (K,)) * w_inl
+        idx = jax.lax.top_k(scores, 4)[1]
+        ar = jnp.arange(K)
+        return jnp.any(ar[None, :] == idx[:, None], axis=0).astype(x1n.dtype) * w_inl
+
+    keys = jax.random.split(key, h_hypotheses)
+    sample_w = jax.vmap(sample_one)(keys)
+
+    def score_h(w):
+        Hh = nullvec_pinned(_h_normal_matrix(x1n, x2n, w)).reshape(3, 3)
+        return jnp.sum(f_inl & (_h_transfer_err(Hh, x1n, x2n) < thresh2)), Hh
+
+    votes, Hs = jax.vmap(score_h)(sample_w)
+    H = Hs[jnp.argmax(votes)]
+    h_err = _h_transfer_err(H, x1n, x2n)
+    n_f = jnp.maximum(jnp.sum(f_inl), 1)
+    degenerate = (jnp.sum(f_inl & (h_err < thresh2)) / n_f) >= h_ratio
+
+    # Plane-and-parallax inner RANSAC: each correspondence OFF the plane
+    # contributes the line p2 x (H p1), and all such lines concur at the
+    # epipole e'. Off-plane candidates include gross outliers, so e' is
+    # voted by sampling candidate pairs (line intersections) and scoring
+    # the implied F = [e']_x H over all correspondences.
+    off = mask & (h_err >= thresh2)
+    ones = jnp.ones_like(x1n[:, :1])
+    p1 = jnp.concatenate([x1n, ones], -1)
+    p2 = jnp.concatenate([x2n, ones], -1)
+    Hp1 = p_einsum("ij,kj->ki", H, p1)
+    lines = jnp.cross(p2, Hp1)
+    lines = lines / jnp.maximum(jnp.linalg.norm(lines, axis=-1, keepdims=True), 1e-12)
+    offf = off.astype(x1n.dtype)
+
+    def score_pair(k):
+        ka, kb = jax.random.split(k)
+        a = jnp.argmax(jax.random.uniform(ka, (K,)) * offf)
+        ub = jax.random.uniform(kb, (K,)) * offf
+        b = jnp.argmax(ub.at[a].set(-1.0))  # distinct second point
+        e2 = jnp.cross(lines[a], lines[b])
+        ex = jnp.array(
+            [[0.0, -e2[2], e2[1]], [e2[2], 0.0, -e2[0]], [-e2[1], e2[0], 0.0]],
+            x1n.dtype,
+        )
+        F_c = mm(ex, H)
+        nrm = jnp.linalg.norm(F_c)
+        F_c = F_c / jnp.maximum(nrm, 1e-12)
+        ok = nrm > 1e-9  # parallel lines / repeated point => no epipole
+        n_inl = jnp.sum(mask & (_sampson_f(F_c, x1n, x2n) < thresh2))
+        return jnp.where(ok, n_inl, -1), F_c
+
+    pp_keys = jax.random.split(jax.random.fold_in(key, 1), h_hypotheses)
+    pp_votes, pp_Fs = jax.vmap(score_pair)(pp_keys)
+    best_pp = jnp.argmax(pp_votes)
+    F_pp = pp_Fs[best_pp]
+    F_pp, _ = jax.lax.scan(lo_round, F_pp, lo_mults)
+
+    n_pp = jnp.sum(mask & (_sampson_f(F_pp, x1n, x2n) < thresh2))
+    use_pp = (
+        degenerate
+        & (pp_votes[best_pp] > 0)
+        & (jnp.sum(off) >= 2)
+        & (n_pp > jnp.sum(f_inl))
+        & jnp.all(jnp.isfinite(F_pp))
+    )
+    return jnp.where(use_pp, F_pp, F)
 
 
 def fundamental_to_essential(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.ndarray:

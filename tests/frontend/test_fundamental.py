@@ -71,3 +71,50 @@ def test_homography_and_gric_planar_degeneracy():
     h2 = ransac_homography(jnp.asarray(uv1g), jnp.asarray(uv2g), m, jax.random.PRNGKey(6), threshold_px=2.0)
     degen2, ratio2 = gric_select_model(f2["inliers"], h2["inliers"], m)
     assert not bool(degen2), float(ratio2)
+
+
+def test_degensac_recovers_from_dominant_plane():
+    """280 coplanar points + 6 off-plane + 40 gross outliers: plain F-RANSAC
+    fits the dominant plane and misses the off-plane structure; DEGENSAC's
+    plane-and-parallax re-estimation (F = [e']_x H with the epipole voted
+    by off-H correspondences) must recover all off-plane inliers without
+    admitting outliers."""
+    rng = np.random.default_rng(0)
+    n_plane, n_off, n_out, noise = 280, 6, 40, 0.4
+    K = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1.0]])
+    ang = 0.15
+    R = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+    )
+    t = np.array([0.8, 0.15, 0.1])
+    pp = np.stack([rng.uniform(-2, 2, n_plane), rng.uniform(-1.5, 1.5, n_plane),
+                   np.full(n_plane, 5.0)], 1)
+    po = np.stack([rng.uniform(-2, 2, n_off), rng.uniform(-1.5, 1.5, n_off),
+                   rng.uniform(2.2, 3.5, n_off)], 1)
+    pts = np.concatenate([pp, po])
+
+    def proj(P, Rm, tm):
+        pc = (Rm @ P.T).T + tm
+        uv = (K @ pc.T).T
+        return uv[:, :2] / uv[:, 2:3]
+
+    uv1 = proj(pts, np.eye(3), np.zeros(3)) + rng.normal(0, noise, (len(pts), 2))
+    uv2 = proj(pts, R, t) + rng.normal(0, noise, (len(pts), 2))
+    o1 = rng.uniform([0, 0], [640, 480], (n_out, 2))
+    o2 = rng.uniform([0, 0], [640, 480], (n_out, 2))
+    uv1 = np.concatenate([uv1, o1]).astype(np.float32)
+    uv2 = np.concatenate([uv2, o2]).astype(np.float32)
+    mask = jnp.ones(len(uv1), bool)
+    key = jax.random.PRNGKey(0)
+
+    o_van = ransac_fundamental(jnp.asarray(uv1), jnp.asarray(uv2), mask, key, 2.0,
+                               FundamentalOptions())
+    o_dg = ransac_fundamental(jnp.asarray(uv1), jnp.asarray(uv2), mask, key, 2.0,
+                              FundamentalOptions(degensac=True))
+    off = slice(n_plane, n_plane + n_off)
+    van_recall = np.asarray(o_van["inliers"])[off].mean()
+    dg = np.asarray(o_dg["inliers"])
+    assert van_recall < 0.5  # vanilla is fooled by the plane
+    assert dg[off].all()  # degensac recovers every off-plane point
+    assert dg[n_plane + n_off:].sum() <= 3  # and stays outlier-clean
+    assert dg[:n_plane].mean() > 0.95  # plane inliers retained
