@@ -91,3 +91,112 @@ class BinaryTreePartitioner:
         child_a = self._split(edges[in_a], weights[in_a], depth + 1)
         child_b = self._split(edges[in_b], weights[in_b], depth + 1)
         return ClusterTree(value=edges[cut], children=[child_a, child_b])
+
+
+# ---- native multilevel (METIS-class) partitioner ---------------------------
+
+_METIS_LIB = None
+
+
+def _load_metis():
+    global _METIS_LIB
+    if _METIS_LIB is None:
+        import ctypes
+        import os
+
+        so = os.path.join(os.path.dirname(__file__), "..", "native", "libmetis_lite.so")
+        lib = ctypes.CDLL(so)
+        lib.metis_bisect.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.metis_bisect.restype = None
+        _METIS_LIB = lib
+    return _METIS_LIB
+
+
+def metis_bisect(
+    num_nodes: int, edges: np.ndarray, weights: Optional[np.ndarray] = None,
+    balance_tol: float = 0.1,
+) -> np.ndarray:
+    """Balanced 2-way cut of an undirected graph via the native multilevel
+    partitioner (heavy-edge-matching coarsening + greedy growing + FM
+    refinement — the METIS algorithm family, gtsfm_tpu/native/metis.cpp).
+
+    Returns int8[num_nodes] side labels (0/1). Deterministic.
+    """
+    import ctypes
+
+    lib = _load_metis()
+    edges = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1, 2))
+    u = np.ascontiguousarray(edges[:, 0])
+    v = np.ascontiguousarray(edges[:, 1])
+    if weights is None:
+        wp = ctypes.POINTER(ctypes.c_double)()
+    else:
+        weights = np.ascontiguousarray(np.asarray(weights, np.float64))
+        wp = weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    out = np.zeros(num_nodes, np.int8)
+    lib.metis_bisect(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        wp,
+        ctypes.c_int64(len(edges)),
+        ctypes.c_int64(num_nodes),
+        ctypes.c_double(balance_tol),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return out
+
+
+class MetisPartitioner:
+    """Recursive multilevel bisection into a cluster tree.
+
+    Parity: graph_partitioner/metis_partitioner.py:32-80 (GTSAM symbolic
+    Bayes tree under METIS ordering with max-camera constraints). Here the
+    same METIS machinery — multilevel KL/FM bisection — runs natively
+    (C++, libmetis_lite.so) and the tree is built by recursive bisection:
+    cut edges become the parent's local edges (the merge overlap), exactly
+    what the hierarchical Sim3 merge consumes. Falls back to spectral
+    splits if the native library is unavailable.
+    """
+
+    def __init__(self, max_depth: int = 6, max_cluster_size: int = 40,
+                 balance_tol: float = 0.1):
+        self.max_depth = max_depth
+        self.max_cluster_size = max_cluster_size
+        self.balance_tol = balance_tol
+
+    def run(self, graph: VisibilityGraph, edge_weights: Optional[np.ndarray] = None) -> ClusterTree:
+        edges = np.asarray(graph, np.int32).reshape(-1, 2)
+        if edge_weights is None:
+            edge_weights = np.ones(len(edges), np.float64)
+        try:
+            _load_metis()
+        except OSError:
+            return BinaryTreePartitioner(self.max_depth, self.max_cluster_size).run(
+                graph, edge_weights
+            )
+        return self._split(edges, np.asarray(edge_weights, np.float64), depth=0)
+
+    def _split(self, edges: np.ndarray, weights: np.ndarray, depth: int) -> ClusterTree:
+        nodes = np.unique(edges.reshape(-1)) if len(edges) else np.zeros(0, np.int64)
+        if depth >= self.max_depth or len(nodes) <= self.max_cluster_size or len(edges) < 4:
+            return ClusterTree(value=edges)
+        remap = {v: k for k, v in enumerate(nodes.tolist())}
+        local = np.array([[remap[a], remap[b]] for a, b in edges], np.int64)
+        side = metis_bisect(len(nodes), local, weights, self.balance_tol)
+        side_of = dict(zip(nodes.tolist(), side.tolist()))
+        in_a = np.array([side_of[a] == 0 and side_of[b] == 0 for a, b in edges])
+        in_b = np.array([side_of[a] == 1 and side_of[b] == 1 for a, b in edges])
+        cut = ~(in_a | in_b)
+        if in_a.sum() < 2 or in_b.sum() < 2:
+            return ClusterTree(value=edges)
+        child_a = self._split(edges[in_a], weights[in_a], depth + 1)
+        child_b = self._split(edges[in_b], weights[in_b], depth + 1)
+        return ClusterTree(value=edges[cut], children=[child_a, child_b])
