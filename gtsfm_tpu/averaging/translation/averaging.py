@@ -153,14 +153,18 @@ def _greedy_mfas_order(src, dst, wgt, n) -> np.ndarray:
 @partial(jax.jit, static_argnames=("num_nodes", "opts"))
 def _solve_positions(
     num_nodes: int,
-    edges: jnp.ndarray,  # i32[E, 2] (i, j): t_i - t_j ~ s_e u_e
+    edges: jnp.ndarray,  # i32[E, 2] (i, j): t_i - t_j + c_e ~ s_e u_e
     u: jnp.ndarray,  # f32[E, 3] unit world directions
     w: jnp.ndarray,  # f32[E] weights (0 = rejected)
     opts: TranslationAveragingOptions,
+    c: jnp.ndarray | None = None,  # f32[E, 3] per-edge constant offsets
+    t_init: jnp.ndarray | None = None,  # warm start: skip the LUD phase
 ):
     n = num_nodes
     i = edges[:, 0]
     j = edges[:, 1]
+    if c is None:
+        c = jnp.zeros_like(u)
 
     # --- phase 1: LUD alternation --------------------------------------
     # Laplacian for min sum w ||t_i - t_j - s u||^2 given s: L t = b(s)
@@ -175,20 +179,26 @@ def _solve_positions(
     cho = jax.scipy.linalg.cho_factor(L)
 
     def lud_step(t, _):
-        d = t[i] - t[j]
+        d = t[i] - t[j] + c
         s = jnp.maximum(1.0, jnp.sum(d * u, axis=-1))
+        rhs_e = s[:, None] * u - c  # target for t_i - t_j
         rhs = jnp.zeros((n, 3))
-        rhs = rhs.at[i].add(w[:, None] * s[:, None] * u)
-        rhs = rhs.at[j].add(-w[:, None] * s[:, None] * u)
+        rhs = rhs.at[i].add(w[:, None] * rhs_e)
+        rhs = rhs.at[j].add(-w[:, None] * rhs_e)
         t_new = jax.scipy.linalg.cho_solve(cho, rhs)
         return t_new, None
 
-    t0 = jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.1
-    t_lud, _ = jax.lax.scan(lud_step, t0, None, length=opts.lud_iterations)
+    if t_init is None:
+        t0 = jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.1
+        t_lud, _ = jax.lax.scan(lud_step, t0, None, length=opts.lud_iterations)
+    else:
+        # the LUD phase's s >= 1 clamp re-normalizes the global scale; with
+        # a metric warm start (rig path) go straight to the GN polish
+        t_lud = t_init
 
     # --- phase 2: Huber-GN on direction residuals ----------------------
     def residuals(t):
-        d = t[i] - t[j]
+        d = t[i] - t[j] + c
         nrm = jnp.linalg.norm(d, axis=-1)
         nrm_safe = jnp.maximum(nrm, 1e-9)
         return d / nrm_safe[:, None] - u, nrm
@@ -203,7 +213,7 @@ def _solve_positions(
             return d / n_[:, None] - u
 
         # Jacobian wrt endpoint perturbations: J = (I - dd^T)/||d|| with signs
-        d = t[i] - t[j]
+        d = t[i] - t[j] + c
         nd = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
         dn = d / nd
         P = (
@@ -271,13 +281,27 @@ class TranslationAveraging:
         edge_mask: np.ndarray | None = None,
         seed: int = 0,
         track_dirs: tuple | None = None,
+        rig_of: np.ndarray | None = None,
+        rig_offsets: np.ndarray | None = None,
     ):
         """track_dirs: optional camera->landmark direction augmentation
         (cam_idx (A,), track_node (A,), w_dir (A, 3) world-frame unit
         directions) — the reference's BA-coverage track selection
         (averaging_1dsfm.py:333-400). Track nodes index a virtual node
         space appended after the camera nodes; their solved positions are
-        discarded."""
+        discarded.
+
+        rig_of / rig_offsets: HARD intra-rig constraints (parity:
+        RigTranslationAveraging1DSFM, rig_1dsfm.py:25, which feeds GTSAM
+        Constrained noise models). TPU-native formulation: constraints are
+        eliminated exactly instead of penalized — cameras collapse onto
+        their rig-body node (rig_of: i32[N] rig id per camera) with known
+        world-frame center offsets (rig_offsets: f32[N, 3], i.e.
+        wR_body @ body-frame camera center, computable once rotations are
+        averaged). The solve runs over body positions with per-edge
+        constant offsets in the direction residuals, then cameras are
+        reconstituted as t_body[rig_of] + rig_offsets. Because offsets are
+        metric, they also pin the global scale gauge."""
         edges = np.asarray(edges, np.int32)
         E = len(edges)
         if E == 0:
@@ -311,28 +335,60 @@ class TranslationAveraging:
 
         # solve on device: edge (i1, i2) with t_i1 - t_i2 ~ s * w_dir
         w = inlier_mask.astype(np.float32)
-        solve_edges = edges
+        if rig_of is not None:
+            rig_of = np.asarray(rig_of, np.int64)
+            rig_offsets = np.asarray(rig_offsets, np.float32).reshape(num_images, 3)
+            n_body = int(rig_of.max()) + 1 if num_images else 0
+            node_of = rig_of.astype(np.int32)
+        else:
+            n_body = num_images
+            node_of = np.arange(num_images, dtype=np.int32)
+            rig_offsets = np.zeros((num_images, 3), np.float32)
+
+        solve_edges = node_of[edges]
+        # residual d = t[i] - t[j] + (off_i1 - off_i2)
+        solve_c = rig_offsets[edges[:, 0]] - rig_offsets[edges[:, 1]]
+        # intra-rig edges carry no information about body positions
+        w = w * (solve_edges[:, 0] != solve_edges[:, 1])
         solve_dirs = w_dirs
         solve_w = w
-        num_nodes = num_images
+        num_nodes = n_body
         if track_dirs is not None:
             cam_idx, track_node, tdirs = track_dirs
-            num_nodes = num_images + (int(np.max(track_node)) + 1 if len(track_node) else 0)
+            num_nodes = n_body + (int(np.max(track_node)) + 1 if len(track_node) else 0)
             # direction from camera -> track: t_track - t_cam ~ s * dir
             aug_edges = np.stack(
-                [np.asarray(track_node) + num_images, np.asarray(cam_idx)], axis=-1
+                [np.asarray(track_node) + n_body, node_of[np.asarray(cam_idx)]], axis=-1
             ).astype(np.int32)
-            solve_edges = np.concatenate([edges, aug_edges])
+            aug_c = -rig_offsets[np.asarray(cam_idx)]
+            solve_edges = np.concatenate([solve_edges, aug_edges])
+            solve_c = np.concatenate([solve_c, aug_c])
             solve_dirs = np.concatenate([w_dirs, np.asarray(tdirs, np.float32)])
             solve_w = np.concatenate([w, 0.5 * np.ones(len(aug_edges), np.float32)])
-        t = _solve_positions(
-            num_nodes,
-            jnp.asarray(solve_edges),
-            jnp.asarray(solve_dirs),
-            jnp.asarray(solve_w),
-            self.options,
-        )
-        t_np = np.array(t)[:num_images]
+        se = jnp.asarray(solve_edges.astype(np.int32))
+        sd = jnp.asarray(solve_dirs)
+        sw = jnp.asarray(solve_w)
+        if rig_of is not None:
+            # 1) direction-only solve (scale-free) over body nodes
+            t_hat = np.asarray(_solve_positions(num_nodes, se, sd, sw, self.options))
+            # 2) closed-form metric scale from the rig offsets: each edge
+            # wants a*dt + c parallel to u, i.e. a*(dt x u) = -(c x u)
+            dt = t_hat[solve_edges[:, 0]] - t_hat[solve_edges[:, 1]]
+            v = np.cross(dt, solve_dirs)
+            z = np.cross(solve_c, solve_dirs)
+            ww = solve_w[:, None]
+            denom = float(np.sum(ww * v * v))
+            a = -float(np.sum(ww * v * z)) / max(denom, 1e-12)
+            a = abs(a) if abs(a) > 1e-6 else 1.0
+            # 3) GN polish with the offsets, warm-started at metric scale
+            t = _solve_positions(
+                num_nodes, se, sd, sw, self.options,
+                c=jnp.asarray(solve_c), t_init=jnp.asarray(a * t_hat),
+            )
+        else:
+            t = _solve_positions(num_nodes, se, sd, sw, self.options,
+                                 c=jnp.asarray(solve_c))
+        t_np = np.array(t)[node_of] + rig_offsets
         t_np[~valid] = 0.0
         return t_np.astype(np.float32), valid, inlier_mask
 

@@ -91,3 +91,46 @@ def test_empty_and_single_edge():
     ta = TranslationAveraging()
     t, valid, inl = ta.run(3, np.zeros((0, 2), np.int32), np.zeros((0, 3), np.float32), np.tile(np.eye(3), (3, 1, 1)))
     assert not valid.any()
+
+
+def test_rig_hard_constraints_pin_geometry_and_scale():
+    """Cameras grouped into rigs with known metric offsets: the rig-aware
+    solve must (a) satisfy the intra-rig constraints EXACTLY (they are
+    eliminated, not penalized) and (b) recover camera positions at metric
+    scale without any similarity alignment (RigTranslationAveraging1DSFM
+    parity, upgraded from soft noise models to exact elimination)."""
+    rng = np.random.default_rng(4)
+    n_rigs, cams_per = 4, 3
+    n = n_rigs * cams_per
+    wRi = np.asarray(so3.random(jax.random.PRNGKey(4), (n,)))
+    body = rng.uniform(-6, 6, size=(n_rigs, 3)).astype(np.float32)
+    body -= body[0]  # gauge: body 0 at origin (the solver's anchor)
+    # metric rig offsets (e.g. a 0.4 m camera rig), world frame
+    offsets = rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32)
+    rig_of = np.repeat(np.arange(n_rigs), cams_per)
+    wti = body[rig_of] + offsets
+
+    edges = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if rig_of[a] != rig_of[b] and rng.uniform() < 0.8:
+                edges.append((a, b))
+    edges = np.array(edges, np.int32)
+    d_world = wti[edges[:, 0]] - wti[edges[:, 1]]
+    i2Ui1 = np.einsum("eji,ej->ei", wRi[edges[:, 1]], d_world)
+    i2Ui1 /= np.linalg.norm(i2Ui1, axis=-1, keepdims=True)
+
+    ta = TranslationAveraging()
+    t_est, valid, _ = ta.run(
+        n, edges, i2Ui1.astype(np.float32), wRi, rig_of=rig_of, rig_offsets=offsets
+    )
+    assert valid.all()
+    # (a) intra-rig deltas are exact by construction
+    for r in range(n_rigs):
+        cams = np.nonzero(rig_of == r)[0]
+        est_d = t_est[cams[1]] - t_est[cams[0]]
+        gt_d = offsets[cams[1]] - offsets[cams[0]]
+        np.testing.assert_allclose(est_d, gt_d, atol=1e-6)
+    # (b) metric recovery, no alignment: anchor body0 ~ 0 in both frames
+    err = np.linalg.norm(t_est - wti, axis=-1).max()
+    assert err < 0.05, f"metric err {err}"
