@@ -30,6 +30,11 @@ class FeedforwardOptions(NamedTuple):
     dim: int = 256
     depth: int = 6  # pairs of (frame, global) attention
     num_heads: int = 4
+    # FastVGGT-class acceleration (parity: cluster_fast_vggt.py): merge
+    # global-attention keys/values by mean-pooling groups of this many
+    # tokens, turning the O((BT)^2) global step into O(BT * BT/s). 1 = the
+    # full VGGT-class global attention.
+    global_kv_stride: int = 1
 
 
 class _MHA(nn.Module):
@@ -67,6 +72,53 @@ class _Block(nn.Module):
         return x
 
 
+class _CrossMHA(nn.Module):
+    """Queries from x, keys/values from a (pooled) context y."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, y):
+        h, d = self.heads, self.dim
+        dh = d // h
+        q = nn.Dense(d, name="q")(x)
+        kv = nn.Dense(2 * d, name="kv")(y)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(a):
+            return a.reshape(a.shape[:-1] + (h, dh))
+
+        q, k, v = map(split_heads, (q, k, v))
+        att = jnp.einsum("...qhd,...khd->...hqk", q, k) / jnp.sqrt(dh)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("...hqk,...khd->...qhd", att, v)
+        return nn.Dense(d, name="proj")(out.reshape(out.shape[:-2] + (d,)))
+
+
+class _FastGlobalBlock(nn.Module):
+    """Token-merged global attention (FastVGGT-style): all tokens attend to
+    a stride-pooled summary of all tokens, cutting the quadratic cost."""
+
+    dim: int
+    heads: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):  # (1, N, D)
+        N = x.shape[-2]
+        s = self.stride
+        pad = (-N) % s
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        pooled = xp.reshape(x.shape[0], (N + pad) // s, s, self.dim).mean(axis=-2)
+        y = nn.LayerNorm()(x)
+        yc = nn.LayerNorm()(pooled)
+        x = x + _CrossMHA(self.dim, self.heads, name="attn")(y, yc)
+        y = nn.LayerNorm()(x)
+        x = x + nn.Sequential([nn.Dense(4 * self.dim), nn.gelu, nn.Dense(self.dim)])(y)
+        return x
+
+
 class FeedforwardNet(nn.Module):
     opts: FeedforwardOptions
 
@@ -93,7 +145,12 @@ class FeedforwardNet(nn.Module):
             tokens = _Block(o.dim, o.num_heads, name=f"frame_{i}")(tokens)
             # global attention: flatten all frames' tokens together
             flat = tokens.reshape(1, B * T, o.dim)
-            flat = _Block(o.dim, o.num_heads, name=f"global_{i}")(flat)
+            if o.global_kv_stride > 1:
+                flat = _FastGlobalBlock(
+                    o.dim, o.num_heads, o.global_kv_stride, name=f"global_{i}"
+                )(flat)
+            else:
+                flat = _Block(o.dim, o.num_heads, name=f"global_{i}")(flat)
             tokens = flat.reshape(B, T, o.dim)
 
         cam_feat = tokens[:, 0]  # (B, D)

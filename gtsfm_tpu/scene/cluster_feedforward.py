@@ -73,6 +73,24 @@ class ClusterFeedforward:
         return data, metrics
 
 
+class ClusterFastFeedforward(ClusterFeedforward):
+    """FastVGGT-class cluster optimizer (parity: cluster_fast_vggt.py):
+    the same feed-forward reconstruction with token-merged global attention
+    (global_kv_stride=4), trading a little accuracy for a ~stride-fold
+    cheaper global-attention stage on large clusters."""
+
+    def __init__(self, options: ClusterFeedforwardOptions | None = None, params=None):
+        if options is None:
+            options = ClusterFeedforwardOptions(
+                model=FeedforwardOptions(global_kv_stride=4)
+            )
+        elif options.model.global_kv_stride <= 1:
+            options = options._replace(
+                model=options.model._replace(global_kv_stride=4)
+            )
+        super().__init__(options, params=params)
+
+
 def depth_to_splats(
     poses, depth: np.ndarray, conf: np.ndarray, cal, images: Optional[np.ndarray] = None,
     conf_threshold: float = 0.5, stride: int = 8, max_gaussians: int = 100_000,

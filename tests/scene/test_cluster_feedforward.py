@@ -45,3 +45,42 @@ def test_depth_to_splats():
     np.testing.assert_allclose(means[:, 2], 5.0, atol=1e-4)  # on the plane
     s = np.exp(np.asarray(gs.log_scales)[0, 0])
     assert 0.2 < s < 1.0  # 5.0 * 4 / 40 = 0.5 pixel footprint
+
+
+def test_cluster_fast_feedforward_runs():
+    """FastVGGT-class slot: token-merged global attention produces the same
+    product shapes and a valid SfmData."""
+    from gtsfm_tpu.scene.cluster_feedforward import ClusterFastFeedforward
+
+    opts = ClusterFeedforwardOptions(
+        model=FeedforwardOptions(dim=64, depth=1, num_heads=2, global_kv_stride=4),
+        run_post_ba=False, conf_threshold=0.0,
+    )
+    imgs = np.random.default_rng(1).uniform(size=(3, 64, 64)).astype(np.float32)
+    cal = Cal3_S2.create(jnp.full(3, 80.0), jnp.full(3, 80.0), jnp.zeros(3),
+                         jnp.full(3, 32.0), jnp.full(3, 32.0))
+    co = ClusterFastFeedforward(opts)
+    assert co.options.model.global_kv_stride == 4
+    data, metrics = co.run(imgs, cal)
+    assert data.number_images() == 3
+    assert metrics["num_tracks_ff"] > 10
+    # defaulted options also enable the fast path
+    co2 = ClusterFastFeedforward()
+    assert co2.options.model.global_kv_stride == 4
+
+
+def test_fast_global_attention_token_counts():
+    """The fast global block must handle token counts not divisible by the
+    stride (padding path) and keep outputs finite."""
+    import jax
+
+    from gtsfm_tpu.frontend.feedforward import FeedforwardNet
+
+    opts = FeedforwardOptions(patch_size=16, dim=32, depth=1, num_heads=2,
+                              global_kv_stride=3)
+    net = FeedforwardNet(opts)
+    imgs = jnp.asarray(np.random.default_rng(2).uniform(size=(3, 48, 64)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), imgs)["params"]
+    pose, depth, conf = net.apply({"params": params}, imgs)
+    assert pose.shape == (3, 7) and depth.shape == (3, 48, 64)
+    assert np.isfinite(np.asarray(pose)).all() and np.isfinite(np.asarray(depth)).all()
