@@ -279,20 +279,32 @@ def _prior_cost(prob: BAProblem) -> jnp.ndarray:
 
 
 def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam, lam, cg_iters,
-                 prior_terms=None):
+                 prior_terms=None, shared_cal_dims: int = 0):
     """Solve the damped normal equations via Schur + PCG.
 
     Returns (delta_c [N, d], delta_p [T, 3]).
+
+    shared_cal_dims > 0 solves the SHARED-calibration system exactly: the
+    trailing `dc` columns of every camera block are one global variable
+    (parity: GTSAM's single shared-calib key, bundle_adjustment.py:33-35).
+    The reduced operator is A^T S A where A replicates the shared delta to
+    every camera — CG runs on (N*6 + dc) unknowns, so pose-cal coupling is
+    exact rather than a post-step projection.
     """
     d = J_c.shape[-1]
+    dc = shared_cal_dims
     sw = jnp.sqrt(w)[:, None, None]
     Jc = J_c * sw
     Jp = J_p * sw
     rw = r * jnp.sqrt(w)[:, None]
 
-    # frozen cameras: zero their jacobian columns
+    # frozen cameras: zero their jacobian columns (pose only when the
+    # calibration is shared — a frozen pose still constrains the shared K)
     free = (~fixed_cam).astype(Jc.dtype)[meas_cam][:, None, None]
-    Jc = Jc * free
+    if dc > 0:
+        Jc = jnp.concatenate([Jc[..., : d - dc] * free, Jc[..., d - dc :]], axis=-1)
+    else:
+        Jc = Jc * free
 
     # block diagonals and gradients
     Hcc = jax.ops.segment_sum(p_einsum("mri,mrj->mij", Jc, Jc), meas_cam, num_segments=n_cam)
@@ -343,27 +355,72 @@ def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam
         p_einsum("mij,mj->mi", W, hv[meas_track]), meas_cam, num_segments=n_cam
     )
 
-    # block-Jacobi preconditioner from Hcc_d
-    M_inv = jnp.linalg.inv(Hcc_d)
-    precond = lambda x: p_einsum("nij,nj->ni", M_inv, x)
+    if dc > 0:
+        # ---- shared-calibration reduced space: x~ = (N*6 pose | dc cal) --
+        dp = d - dc
 
-    def cg_body(_, carry):
-        x, rr, p, rz = carry
-        Ap = S_matvec(p)
-        denom = jnp.sum(p * Ap)
-        alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-        x = x + alpha * p
-        rr = rr - alpha * Ap
-        z = precond(rr)
-        rz_new = jnp.sum(rr * z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
-        p = z + beta * p
-        return x, rr, p, rz_new
+        def expand(xt):  # (N*dp + dc,) -> (N, d)
+            xp = xt[: n_cam * dp].reshape(n_cam, dp)
+            y = xt[n_cam * dp :]
+            return jnp.concatenate(
+                [xp, jnp.broadcast_to(y[None], (n_cam, dc))], axis=-1
+            )
 
-    x0 = jnp.zeros_like(b)
-    z0 = precond(b)
-    init = (x0, b, z0, jnp.sum(b * z0))
-    delta_c, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
+        def reduce_(z):  # (N, d) -> (N*dp + dc,)
+            return jnp.concatenate([z[:, :dp].reshape(-1), jnp.sum(z[:, dp:], axis=0)])
+
+        op = lambda xt: reduce_(S_matvec(expand(xt)))
+        bt = reduce_(b)
+        # preconditioner: per-camera pose blocks + the pooled cal block
+        Mp_inv = jnp.linalg.inv(Hcc_d[:, :dp, :dp])
+        Mc_inv = jnp.linalg.inv(jnp.sum(Hcc_d[:, dp:, dp:], axis=0))
+
+        def precond_t(xt):
+            xp = xt[: n_cam * dp].reshape(n_cam, dp)
+            y = xt[n_cam * dp :]
+            return jnp.concatenate(
+                [p_einsum("nij,nj->ni", Mp_inv, xp).reshape(-1), Mc_inv @ y]
+            )
+
+        def cg_body_t(_, carry):
+            x, rr, p, rz = carry
+            Ap = op(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond_t(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return x, rr, p, rz_new
+
+        z0 = precond_t(bt)
+        init = (jnp.zeros_like(bt), bt, z0, jnp.sum(bt * z0))
+        xt, *_ = jax.lax.fori_loop(0, cg_iters, cg_body_t, init)
+        delta_c = expand(xt)
+    else:
+        # block-Jacobi preconditioner from Hcc_d
+        M_inv = jnp.linalg.inv(Hcc_d)
+        precond = lambda x: p_einsum("nij,nj->ni", M_inv, x)
+
+        def cg_body(_, carry):
+            x, rr, p, rz = carry
+            Ap = S_matvec(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return x, rr, p, rz_new
+
+        x0 = jnp.zeros_like(b)
+        z0 = precond(b)
+        init = (x0, b, z0, jnp.sum(b * z0))
+        delta_c, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
 
     # back-substitute points: delta_p = -Hpp^-1 (g_p + W^T delta_c)
     u = p_einsum("mij,mi->mj", W, delta_c[meas_cam])
@@ -377,13 +434,13 @@ def _apply_step(prob: BAProblem, delta_c, delta_p, opts: "BAOptions") -> BAProbl
     d_pose = delta_c[:, :6] * free
     new_poses = prob.poses.retract(d_pose)
     if opts.optimize_intrinsics:
-        d_cal = delta_c[:, 6:] * free
         if opts.shared_intrinsics:
-            # project onto the shared subspace: identical delta everywhere
-            denom = jnp.maximum(jnp.sum(free), 1.0)
-            d_cal = jnp.broadcast_to(
-                jnp.sum(d_cal, axis=0, keepdims=True) / denom, d_cal.shape
-            ) * free
+            # the Schur solve already treats calibration as one exact shared
+            # variable (delta identical per camera); apply it everywhere —
+            # including pose-frozen cameras, whose K is still shared
+            d_cal = jnp.broadcast_to(delta_c[:1, 6:], delta_c[:, 6:].shape)
+        else:
+            d_cal = delta_c[:, 6:] * free
         new_cal = prob.cal_params + d_cal
     else:
         new_cal = prob.cal_params
@@ -419,10 +476,15 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
         w = _robust_weights(r, depth, prob.meas_w, opts, mu)
         J_c, J_p = _jacobians(prob, opts.optimize_intrinsics)
         prior_terms = _pose_prior_terms(prob, J_c.shape[-1])
+        shared_dc = (
+            prob.cal_params.shape[-1]
+            if (opts.optimize_intrinsics and opts.shared_intrinsics)
+            else 0
+        )
         delta_c, delta_p = _schur_solve(
             J_c, J_p, r, w, prob.meas_cam, prob.meas_track,
             n_cam, n_track, prob.fixed_cam, lam, opts.cg_iterations,
-            prior_terms=prior_terms,
+            prior_terms=prior_terms, shared_cal_dims=shared_dc,
         )
         cand = _apply_step(prob, delta_c, delta_p, opts)
         new_cost = _cost(cand, opts)

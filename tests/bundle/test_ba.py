@@ -242,3 +242,25 @@ def test_ba_gnc_factor_weight_filtering():
     np.add.at(counts, np.asarray(opt.meas_track)[keep], 1)
     tm = np.asarray(opt.track_mask)
     assert (counts[tm] >= 2).all()
+
+
+def test_ba_shared_intrinsics_exact_schur_variable():
+    """Shared calibration is one exact Schur variable: calibrations stay
+    bit-identical across all cameras (including pose-frozen ones) and the
+    shared focal converges with simultaneous pose noise."""
+    gt = make_synthetic_scene(n_cams=6, n_tracks=60)
+    noisy = _perturb(gt, pose_sigma=0.01, point_sigma=0.02, seed=9)
+    noisy = noisy.replace(cal=noisy.cal.replace(f=noisy.cal.f * 1.06))
+    fixed = jnp.zeros(6, bool).at[0].set(True)
+    ba = BundleAdjustment(
+        BAOptions(max_iterations=40, cg_iterations=50,
+                  optimize_intrinsics=True, shared_intrinsics=True)
+    )
+    opt, m = ba.run(noisy, fixed_cam=fixed)
+    f = np.asarray(opt.cal.f)
+    # identical shared calibration everywhere, frozen camera included
+    np.testing.assert_allclose(f, f[0], rtol=0, atol=0)
+    # converged back toward the true focal
+    f_gt = float(np.asarray(gt.cal.f)[0])
+    assert abs(f[0] - f_gt) / f_gt < 0.01, f
+    assert m["final_cost"] < m["initial_cost"] * 1e-2
