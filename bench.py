@@ -22,6 +22,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from gtsfm_tpu.frontend.two_view import TwoViewOptions, run_two_view_batch
     from gtsfm_tpu.frontend.verifiers.essential import RansacOptions
     from gtsfm_tpu.geometry import Cal3Bundler

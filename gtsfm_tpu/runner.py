@@ -75,6 +75,9 @@ def build_loader(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from gtsfm_tpu.configs.config import build_scene_optimizer, load_config
+    from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = load_config(args.config_name, args.overrides)
     so_cfg = cfg.setdefault("scene_optimizer", {})
