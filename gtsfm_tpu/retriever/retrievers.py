@@ -26,6 +26,16 @@ class RetrieverOptions(NamedTuple):
     max_frame_lookahead: int = 15  # sequential window
 
 
+def filter_loader_valid(pairs: np.ndarray, loader) -> np.ndarray:
+    """Drop pairs the loader declares invalid (temporal lookahead limits,
+    benchmark co-visibility lists — LoaderBase.is_valid_pair). No-op when
+    loader is None."""
+    if loader is None or len(pairs) == 0:
+        return pairs
+    keep = [bool(loader.is_valid_pair(int(i), int(j))) for i, j in pairs]
+    return pairs[np.asarray(keep, bool)].reshape(-1, 2)
+
+
 def sequential_pairs(num_images: int, max_frame_lookahead: int) -> np.ndarray:
     """Sliding-window pairs (i, j), j - i <= lookahead. Parity:
     sequential_retriever.py:21."""
@@ -82,13 +92,15 @@ class SequentialRetriever:
     def __init__(self, options: RetrieverOptions = RetrieverOptions()):
         self.options = options
 
-    def get_image_pairs(self, num_images: int, global_descriptors=None) -> np.ndarray:
-        return sequential_pairs(num_images, self.options.max_frame_lookahead)
+    def get_image_pairs(self, num_images: int, global_descriptors=None, loader=None) -> np.ndarray:
+        return filter_loader_valid(
+            sequential_pairs(num_images, self.options.max_frame_lookahead), loader
+        )
 
 
 class ExhaustiveRetriever:
-    def get_image_pairs(self, num_images: int, global_descriptors=None) -> np.ndarray:
-        return exhaustive_pairs(num_images)
+    def get_image_pairs(self, num_images: int, global_descriptors=None, loader=None) -> np.ndarray:
+        return filter_loader_valid(exhaustive_pairs(num_images), loader)
 
 
 class SimilarityRetriever:
@@ -96,14 +108,14 @@ class SimilarityRetriever:
         self.options = options
         self.latest_similarity_matrix: Optional[np.ndarray] = None
 
-    def get_image_pairs(self, num_images: int, global_descriptors=None) -> np.ndarray:
+    def get_image_pairs(self, num_images: int, global_descriptors=None, loader=None) -> np.ndarray:
         if global_descriptors is None:
             raise ValueError("SimilarityRetriever requires global descriptors")
         pairs, sim = similarity_pairs(
             jnp.asarray(global_descriptors), self.options.num_matched, self.options.min_score
         )
         self.latest_similarity_matrix = sim
-        return pairs
+        return filter_loader_valid(pairs, loader)
 
 
 class JointSimilaritySequentialRetriever:
@@ -113,11 +125,13 @@ class JointSimilaritySequentialRetriever:
         self.options = options
         self.similarity = SimilarityRetriever(options)
 
-    def get_image_pairs(self, num_images: int, global_descriptors=None) -> np.ndarray:
+    def get_image_pairs(self, num_images: int, global_descriptors=None, loader=None) -> np.ndarray:
         seq = sequential_pairs(num_images, self.options.max_frame_lookahead)
         if global_descriptors is None:
-            return seq
+            return filter_loader_valid(seq, loader)
         sim = self.similarity.get_image_pairs(num_images, global_descriptors)
         self.latest_similarity_matrix = self.similarity.latest_similarity_matrix
         all_pairs = {tuple(p) for p in seq} | {tuple(p) for p in sim}
-        return np.array(sorted(all_pairs), np.int32).reshape(-1, 2)
+        return filter_loader_valid(
+            np.array(sorted(all_pairs), np.int32).reshape(-1, 2), loader
+        )

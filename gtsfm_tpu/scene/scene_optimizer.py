@@ -92,7 +92,12 @@ class SceneOptimizer:
             from gtsfm_tpu.frontend.global_descriptors.descriptors import TinyImageDescriptor
 
             global_descs = TinyImageDescriptor().describe_batch(images)
-        pairs = self.retriever.get_image_pairs(n, global_descriptors=global_descs)
+        try:
+            pairs = self.retriever.get_image_pairs(
+                n, global_descriptors=global_descs, loader=loader
+            )
+        except TypeError:  # custom retriever without loader-filter support
+            pairs = self.retriever.get_image_pairs(n, global_descriptors=global_descs)
         retriever_sec = time.perf_counter() - t0
 
         # ---- two-view estimation (batched over pairs) ----------------

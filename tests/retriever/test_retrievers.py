@@ -57,3 +57,29 @@ def test_sequential_retriever_class():
     pairs = r.get_image_pairs(10)
     assert len(pairs) == 7 + 7 + 7 + 3  # 9+8+7 windowed... just sanity:
     assert all(p[1] - p[0] <= 3 for p in pairs)
+
+
+def test_retrievers_respect_loader_pair_validity():
+    """Loaders with temporal/benchmark pair restrictions (is_valid_pair)
+    filter every retriever's output."""
+    from gtsfm_tpu.retriever.retrievers import (
+        ExhaustiveRetriever,
+        RetrieverOptions,
+        SequentialRetriever,
+    )
+
+    class LookaheadLoader:
+        def __len__(self):
+            return 6
+
+        def is_valid_pair(self, i, j):
+            return 0 <= i < j < 6 and j - i <= 2
+
+    L = LookaheadLoader()
+    ex = ExhaustiveRetriever().get_image_pairs(6, loader=L)
+    assert all(j - i <= 2 for i, j in ex)
+    assert len(ex) == 4 + 3 + 2  # lookahead-2 band over 6 nodes: 5+4 = 9
+    seq = SequentialRetriever(RetrieverOptions(max_frame_lookahead=5)).get_image_pairs(6, loader=L)
+    assert all(j - i <= 2 for i, j in seq)
+    # without a loader nothing is filtered
+    assert len(ExhaustiveRetriever().get_image_pairs(6)) == 15
