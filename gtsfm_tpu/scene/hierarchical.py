@@ -19,7 +19,7 @@ import numpy as np
 
 from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
 from gtsfm_tpu.merging.merge import MergeOptions, merge_children
-from gtsfm_tpu.partitioner.partitioners import BinaryTreePartitioner
+from gtsfm_tpu.partitioner.partitioners import MetisPartitioner
 from gtsfm_tpu.products.types import ClusterTree
 from gtsfm_tpu.scene.mvo import MVOOptions, MultiViewOptimizer
 
@@ -50,7 +50,9 @@ class HierarchicalReconstruction:
         opts = self.options
         valid = np.asarray(tvr["valid"], bool)
         edges = np.asarray(pairs, np.int64)
-        part = BinaryTreePartitioner(
+        # native multilevel (METIS-class) bisection; falls back to the
+        # spectral splitter when libmetis_lite.so is unavailable
+        part = MetisPartitioner(
             max_depth=opts.max_depth, max_cluster_size=opts.max_cluster_size
         )
         tree = part.run(edges[valid], edge_weights=np.asarray(tvr["num_inliers"])[valid])
