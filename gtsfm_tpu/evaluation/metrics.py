@@ -122,7 +122,9 @@ def relative_pose_errors(
     errors after robust Sim3 alignment of est onto GT.
 
     Parity: compute_ba_pose_metrics (/root/reference/gtsfm/utils/metrics.py:445).
-    Returns (rot_err_deg (N,), trans_err (N,), aligned SE3).
+    Returns (rot_err_deg (N,), trans_err (N,), est->GT Sim3) — the Sim3 is
+    returned (not pre-applied poses) so callers can transform the whole
+    scene (poses AND points) consistently via SfmData.transform.
     """
     sim = align_poses_sim3_robust(wTi_est, wTi_gt, mask=jnp.asarray(mask))
     aligned = sim.transform_pose(wTi_est)
@@ -130,7 +132,7 @@ def relative_pose_errors(
     t_err = np.linalg.norm(np.asarray(aligned.t) - np.asarray(wTi_gt.t), axis=-1)
     rot_err = np.where(mask, rot_err, np.inf)
     t_err = np.where(mask, t_err, np.inf)
-    return rot_err, t_err, aligned
+    return rot_err, t_err, sim
 
 
 def relative_rotation_angular_errors(wRi_est, wRi_gt, pairs) -> np.ndarray:

@@ -11,6 +11,7 @@ we store camera poses as wTi, so read = invert, write = invert back.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import jax.numpy as jnp
@@ -47,6 +48,13 @@ def _parse_camera_params(model: str, params: list):
             Cal3Fisheye,
         )
     if model == "FULL_OPENCV":  # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6 (truncate)
+        higher = p[8:12]
+        if any(abs(c) > 1e-9 for c in higher):
+            warnings.warn(
+                f"FULL_OPENCV camera has non-zero k3..k6 {higher}; truncating to "
+                "k1,k2,p1,p2 (Cal3DS2) — undistortion will be approximate.",
+                stacklevel=3,
+            )
         return (
             dict(fx=p[0], fy=p[1], u0=p[2], v0=p[3], k1=p[4], k2=p[5], p1=p[6], p2=p[7]),
             Cal3DS2,
@@ -74,8 +82,15 @@ def read_images_txt(path: str) -> list:
     """-> list of dicts per image: {image_id, wTi(np R,t), camera_id, name,
     points2d: (K, 3) array of (x, y, point3d_id)} sorted by name."""
     images = []
+    # COLMAP pairs each pose line with a POINTS2D line that is EMPTY when an
+    # image has no observations (our own write_scene emits such lines), so
+    # blank lines must be preserved: skip only comments, then consume lines
+    # strictly two at a time (reference reads lines[4::2], utils/io.py:220-376).
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.strip().startswith("#")]
+        lines = [ln.rstrip("\n") for ln in f if not ln.lstrip().startswith("#")]
+    # drop trailing blank lines (file-final newline), not interior ones
+    while lines and not lines[-1].strip():
+        lines.pop()
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         image_id = int(parts[0])

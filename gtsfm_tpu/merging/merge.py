@@ -158,6 +158,7 @@ def merge_children(
     sim, inl, ok = sim3_from_point_pairs(np.asarray(pa), np.asarray(pb), opts)
     metrics["sim3_ok"] = bool(ok)
     metrics["sim3_inliers"] = int(inl.sum())
+    metrics["sim3_inlier_mask"] = np.asarray(inl, bool)  # which 3D-3D pairs were fused
     if not ok:
         return None, metrics
     merge_pairs = np.stack([np.asarray(ta)[inl], np.asarray(tb)[inl]], axis=-1)

@@ -169,9 +169,14 @@ class HierarchicalReconstruction:
         )
         if merged is None:
             return None
-        # rebuild the (image, kp) -> track map for the merged scene
+        # rebuild the (image, kp) -> track map for the merged scene; only
+        # Sim3-inlier pairs were actually fused by merge_children, so map
+        # b-tracks onto a-tracks for inlier pairs only
         new_map = dict(map_a)
-        ta_of_tb = {int(t_b): int(t_a) for t_a, t_b in zip(ta, tb)}
+        inl = mm.get("sim3_inlier_mask", np.ones(len(ta), bool))
+        ta_of_tb = {
+            int(t_b): int(t_a) for t_a, t_b, keep in zip(ta, tb, inl) if keep
+        }
         offset = data_a.max_tracks
         for (img, kp), t_b in map_b.items():
             new_map[(img, kp)] = ta_of_tb.get(int(t_b), int(t_b) + offset)

@@ -192,6 +192,15 @@ class MultiViewOptimizer:
         meas_cam = track_cam[obs_t, obs_k].astype(np.int32)
         meas_kp = track_kp[obs_t, obs_k].astype(np.int32)
         meas_uv = track_uv[obs_t, obs_k]
+        meas_track = obs_t.astype(np.int32)
+        meas_mask = np.ones(len(obs_t), bool)
+        if len(obs_t) == 0:
+            # pad all measurement arrays together to length 1 (mask=False) so
+            # SfmData's equal-length invariant holds for downstream segment ops
+            meas_cam = np.zeros(1, np.int32)
+            meas_track = np.zeros(1, np.int32)
+            meas_uv = np.zeros((1, 2), np.float32)
+            meas_mask = np.zeros(1, bool)
         data = SfmData(
             poses=poses,
             cal=cal,
@@ -199,9 +208,9 @@ class MultiViewOptimizer:
             points=jnp.asarray(points, jnp.float32),
             track_mask=jnp.asarray(tri_ok),
             meas_cam=jnp.asarray(meas_cam),
-            meas_track=jnp.asarray(obs_t.astype(np.int32)),
+            meas_track=jnp.asarray(meas_track),
             meas_uv=jnp.asarray(meas_uv, jnp.float32),
-            meas_mask=jnp.ones(len(obs_t), bool) if len(obs_t) else jnp.zeros(1, bool),
+            meas_mask=jnp.asarray(meas_mask),
             meta=meta,
         )
         if len(obs_t) == 0:

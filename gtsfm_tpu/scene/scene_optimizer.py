@@ -189,8 +189,8 @@ class SceneOptimizer:
         gt = loader.get_gt_poses()
         if gt is not None and not mvo_metrics.get("failed"):
             est_mask = np.asarray(data.pose_mask)
-            rot_err, t_err, aligned = relative_pose_errors(data.poses, gt, est_mask)
-            data = data.replace(poses=aligned)  # keep scene in GT frame
+            rot_err, t_err, sim = relative_pose_errors(data.poses, gt, est_mask)
+            data = data.transform(sim)  # keep whole scene (poses+points) in GT frame
             auc = pose_auc(rot_err[est_mask])
             eval_group = MetricsGroup(
                 "ba_pose_metrics",

@@ -26,6 +26,27 @@ def test_write_read_roundtrip(tmp_path):
     assert np.all(err[m] < 0.05)
 
 
+def test_roundtrip_with_observationless_camera(tmp_path):
+    """COLMAP images.txt pairs each pose line with a POINTS2D line that is
+    EMPTY for cameras without measurements; the reader must consume lines
+    strictly two at a time (blank lines preserved)."""
+    import jax.numpy as jnp
+
+    data = make_synthetic_scene()
+    # strip every measurement of camera 0 so write_scene emits an empty
+    # POINTS2D line for it
+    keep = np.asarray(data.meas_cam) != 0
+    data = data.replace(meas_mask=jnp.asarray(np.asarray(data.meas_mask) & keep))
+    colmap.write_scene(data, str(tmp_path))
+    data2 = colmap.read_scene(str(tmp_path))
+    assert data2.number_images() == data.number_images()
+    assert data2.number_measurements() == data.number_measurements()
+    # camera 0's pose must still be present and aligned with the original
+    np.testing.assert_allclose(
+        np.asarray(data2.poses.t), np.asarray(data.poses.t), atol=1e-4
+    )
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_SKYDIO8), reason="reference data not mounted")
 def test_read_reference_colmap_scene():
     data = colmap.read_scene(REF_SKYDIO8)
