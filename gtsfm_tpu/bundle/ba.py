@@ -514,15 +514,37 @@ class BundleAdjustment:
     (bundle_adjustment.py:595-633, configs/unified.yaml).
     """
 
-    def __init__(self, options: BAOptions = BAOptions()):
+    def __init__(self, options: BAOptions = BAOptions(), mesh=None):
+        """mesh: optional jax.sharding.Mesh — measurements shard over its
+        'data' axis (parallel/sharding.shard_ba_problem), the TPU analog of
+        the reference's per-task Dask BA placement."""
         self.options = options
+        self.mesh = mesh
 
     def run(self, data: SfmData, fixed_cam=None, **prior_kwargs) -> tuple:
         """-> (optimized SfmData, dict metrics). prior_kwargs forward to
         problem_from_sfm_data (rel_edges/rel_meas/rel_weight for rig
         between-factors, prior_pose/prior_weight for absolute priors)."""
         prob = problem_from_sfm_data(data, fixed_cam=fixed_cam, **prior_kwargs)
-        prob_f, cost0, cost_f, hist = _optimize_jit(prob, self.options)
+        if self.mesh is not None:
+            from gtsfm_tpu.parallel.sharding import shard_ba_problem
+
+            dsize = self.mesh.shape["data"]
+            M = prob.meas_cam.shape[0]
+            M_pad = ((M + dsize - 1) // dsize) * dsize
+            if M_pad != M:
+                pad = M_pad - M
+                prob = prob.replace(
+                    meas_cam=jnp.concatenate([prob.meas_cam, jnp.zeros(pad, jnp.int32)]),
+                    meas_track=jnp.concatenate([prob.meas_track, jnp.zeros(pad, jnp.int32)]),
+                    meas_uv=jnp.concatenate([prob.meas_uv, jnp.zeros((pad, 2), jnp.float32)]),
+                    meas_w=jnp.concatenate([prob.meas_w, jnp.zeros(pad, jnp.float32)]),
+                )
+            prob = shard_ba_problem(self.mesh, prob)
+            with self.mesh:
+                prob_f, cost0, cost_f, hist = _optimize_jit(prob, self.options)
+        else:
+            prob_f, cost0, cost_f, hist = _optimize_jit(prob, self.options)
         out = problem_to_sfm_data(prob_f, data)
         metrics = {
             "initial_cost": float(cost0),

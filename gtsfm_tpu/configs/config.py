@@ -90,7 +90,31 @@ def load_config(name_or_path: str = "unified", overrides: list = None) -> dict:
 
 
 def build_scene_optimizer(cfg: dict) -> SceneOptimizer:
-    so_opts = _build(SceneOptimizerOptions, cfg.get("scene_optimizer"))
+    """Compose the full object tree from a config dict.
+
+    Top-level sections: ``scene_optimizer`` (options), ``retriever``,
+    ``detector``, ``matcher``, ``global_descriptor`` — the last three are
+    name-dispatched through frontend/registry.py, the analog of the
+    reference's Hydra component swaps (runner.py:202-311). A detector dict
+    may also live at ``scene_optimizer.detector`` (legacy DoGSift-only form).
+    """
+    from gtsfm_tpu.frontend.registry import (
+        build_detector,
+        build_global_descriptor,
+        build_matcher,
+    )
+
+    so_cfg = dict(cfg.get("scene_optimizer") or {})
+    det_cfg = cfg.get("detector")
+    if det_cfg is None:
+        # legacy location: scene_optimizer.detector without a name is DoGSift
+        det_cfg = dict(so_cfg.get("detector") or {})
+        det_cfg.setdefault("name", "dog_sift")
+    if det_cfg.get("name", "dog_sift") != "dog_sift":
+        # non-DoGSift detectors don't parse as DoGSiftOptions
+        so_cfg.pop("detector", None)
+    so_opts = _build(SceneOptimizerOptions, so_cfg)
+
     retr_cfg = dict(cfg.get("retriever") or {})
     retr_name = retr_cfg.pop("name", "sequential")
     retr_cls = _RETRIEVERS[retr_name]
@@ -98,4 +122,17 @@ def build_scene_optimizer(cfg: dict) -> SceneOptimizer:
         retriever = retr_cls()
     else:
         retriever = retr_cls(_build(RetrieverOptions, retr_cfg))
-    return SceneOptimizer(so_opts, retriever=retriever)
+
+    detector = build_detector(det_cfg)
+    matcher = build_matcher(cfg.get("matcher"))
+    global_descriptor = (
+        build_global_descriptor(cfg["global_descriptor"])
+        if cfg.get("global_descriptor") else None
+    )
+    return SceneOptimizer(
+        so_opts,
+        retriever=retriever,
+        detector=detector,
+        matcher=matcher,
+        global_descriptor=global_descriptor,
+    )

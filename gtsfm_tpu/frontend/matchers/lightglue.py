@@ -1,26 +1,33 @@
-"""LightGlue-style attention matcher in Flax.
+"""LightGlue attention matcher in Flax — exact public-checkpoint layout.
 
 Parity: /root/reference/gtsfm/frontend/matcher/lightglue_matcher.py:24-110
-(torch LightGlue from thirdparty/LightGlue) and superglue_matcher.py.
+(torch LightGlue from thirdparty/LightGlue). This is a faithful port of the
+public LightGlue architecture (Lindenberger et al., ICCV 2023):
 
-Architecture (faithful compact LightGlue): per-keypoint positional encoding
-of normalized coordinates, L transformer layers alternating self- and
-cross-attention over the two keypoint sets, then a matchability head and
-double-softmax assignment. The attention is plain dot-product attention
-expressed as batched MXU matmuls (a fused Pallas attention kernel is the
-planned hot-path upgrade). Public checkpoints convert via
-load_torch_weights(); without weights the module runs with random init for
-pipeline-shape tests (DoGSift + mutual-NN is the weight-free path).
+- input_proj: Linear(input_dim -> dim)
+- posenc: learnable Fourier positional encoding of normalized keypoint
+  coords (Wr: 2 -> head_dim/2, rotary cos/sin repeat-interleaved x2)
+- n_layers TransformerLayers, each a SelfBlock (fused Wqkv, rotary q/k,
+  out_proj, ffn on concat[x, message]) then a CrossBlock (shared to_qk,
+  to_v, to_out, same ffn shape)
+- MatchAssignment: final_proj + matchability, sigmoid-log-double-softmax
+  assignment matrix with dustbin row/column
+
+All attention is batched MXU matmuls. load_torch_weights() converts the
+official superpoint_lightglue.pth state_dict one-to-one (verified
+layer-for-layer against a torch re-implementation in
+tests/frontend/test_lightglue_exact.py). Without weights the module runs
+random-init for pipeline-shape tests.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class LightGlueOptions(NamedTuple):
@@ -28,106 +35,169 @@ class LightGlueOptions(NamedTuple):
     num_layers: int = 9
     num_heads: int = 4
     match_threshold: float = 0.1
+    input_dim: int = 256  # SuperPoint descriptors
 
 
-def _rotary_embed(coords: jnp.ndarray, dim: int) -> tuple:
-    """2D rotary-style frequencies from normalized keypoint coords (K, 2)."""
-    half = dim // 4
-    freqs = 2.0 ** jnp.arange(half, dtype=jnp.float32)
-    angx = coords[:, 0:1] * freqs[None] * jnp.pi
-    angy = coords[:, 1:2] * freqs[None] * jnp.pi
-    ang = jnp.concatenate([angx, angy], axis=-1)  # (K, dim/2)
-    return jnp.cos(ang), jnp.sin(ang)
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2k) pairwise (even, odd) -> (-odd, even), official rotate_half."""
+    x = x.reshape(x.shape[:-1] + (-1, 2))
+    x1, x2 = x[..., 0], x[..., 1]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape[:-2] + (-1,))
 
 
-def _apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: (..., K, D); rotate feature pairs by positional angles."""
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    xr1 = x1 * cos - x2 * sin
-    xr2 = x1 * sin + x2 * cos
-    out = jnp.stack([xr1, xr2], axis=-1).reshape(x.shape)
-    return out
+def _apply_rotary(t: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    return t * cos + _rotate_half(t) * sin
 
 
-class Attention(nn.Module):
+class FourierPosEnc(nn.Module):
+    """LearnableFourierPositionalEncoding(M=2, head_dim): Wr (2 -> F/2, no
+    bias), cos/sin each repeat-interleaved x2 to head_dim."""
+
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, coords: jnp.ndarray):  # (K, 2) -> cos/sin (K, head_dim)
+        proj = nn.Dense(self.head_dim // 2, use_bias=False, name="Wr")(coords)
+        cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)
+        sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)
+        return cos, sin
+
+
+class _FFN(nn.Module):
+    """Sequential[Linear(2d, 2d), LayerNorm(2d), GELU, Linear(2d, d)]."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(2 * self.dim, name="ffn0")(x)
+        h = nn.LayerNorm(name="ffn1")(h)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, name="ffn3")(h)
+
+
+def _heads(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    # (K, D) -> (h, K, dh)
+    K, D = x.shape
+    return x.reshape(K, h, D // h).transpose(1, 0, 2)
+
+
+def _merge(x: jnp.ndarray) -> jnp.ndarray:
+    # (h, K, dh) -> (K, D)
+    h, K, dh = x.shape
+    return x.transpose(1, 0, 2).reshape(K, h * dh)
+
+
+def _attend(q, k, v, kv_mask=None):
+    # q,k,v: (h, Kq/Kk, dh)
+    s = jnp.einsum("hqd,hkd->hqk", q, k) / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[None, None, :], s, -1e9)
+    return jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(s, axis=-1), v)
+
+
+class SelfBlock(nn.Module):
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, q_in, kv_in, q_pos=None, kv_pos=None):
-        h = self.heads
-        d = self.dim
-        dh = d // h
-        q = nn.Dense(d, name="q")(q_in)
-        k = nn.Dense(d, name="k")(kv_in)
-        v = nn.Dense(d, name="v")(kv_in)
-        if q_pos is not None:
-            q = _apply_rotary(q, *q_pos)
-            k = _apply_rotary(k, *kv_pos)
-        Kq = q_in.shape[-2]
-        Kk = kv_in.shape[-2]
-        qh = q.reshape(Kq, h, dh).transpose(1, 0, 2)
-        kh = k.reshape(Kk, h, dh).transpose(1, 0, 2)
-        vh = v.reshape(Kk, h, dh).transpose(1, 0, 2)
-        att = jnp.einsum("hqd,hkd->hqk", qh, kh) / jnp.sqrt(dh)
-        att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum("hqk,hkd->hqd", att, vh).transpose(1, 0, 2).reshape(Kq, d)
-        return nn.Dense(d, name="proj")(out)
+    def __call__(self, x, cos, sin, mask=None):
+        d, h = self.dim, self.heads
+        qkv = nn.Dense(3 * d, name="Wqkv")(x)  # (K, 3d)
+        # official layout: unflatten(-1, (heads, dh, 3))
+        K = x.shape[0]
+        qkv = qkv.reshape(K, h, d // h, 3)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # (K, h, dh)
+        q = q.transpose(1, 0, 2)
+        k = k.transpose(1, 0, 2)
+        v = v.transpose(1, 0, 2)
+        q = _apply_rotary(q, cos[None], sin[None])
+        k = _apply_rotary(k, cos[None], sin[None])
+        ctx = _attend(q, k, v, kv_mask=mask)
+        message = nn.Dense(d, name="out_proj")(_merge(ctx))
+        return x + _FFN(d, name="ffn")(jnp.concatenate([x, message], axis=-1))
 
 
-class GlueLayer(nn.Module):
+class CrossBlock(nn.Module):
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, x0, x1, pos0, pos1):
-        self_att = Attention(self.dim, self.heads, name="self_att")
-        cross_att = Attention(self.dim, self.heads, name="cross_att")
-        mlp = nn.Sequential(
-            [nn.Dense(2 * self.dim), nn.gelu, nn.Dense(self.dim)], name="mlp"
-        )
-        # self-attention (shared weights across the two sets)
-        x0 = x0 + self_att(x0, x0, pos0, pos0)
-        x1 = x1 + self_att(x1, x1, pos1, pos1)
-        # cross-attention
-        d0 = cross_att(x0, x1)
-        d1 = cross_att(x1, x0)
-        x0 = x0 + d0
-        x1 = x1 + d1
-        x0 = x0 + mlp(x0)
-        x1 = x1 + mlp(x1)
+    def __call__(self, x0, x1, mask0=None, mask1=None):
+        d, h = self.dim, self.heads
+        to_qk = nn.Dense(d, name="to_qk")
+        to_v = nn.Dense(d, name="to_v")
+        to_out = nn.Dense(d, name="to_out")
+        ffn = _FFN(d, name="ffn")
+        qk0 = _heads(to_qk(x0), h)
+        qk1 = _heads(to_qk(x1), h)
+        v0 = _heads(to_v(x0), h)
+        v1 = _heads(to_v(x1), h)
+        m0 = to_out(_merge(_attend(qk0, qk1, v1, kv_mask=mask1)))
+        m1 = to_out(_merge(_attend(qk1, qk0, v0, kv_mask=mask0)))
+        x0 = x0 + ffn(jnp.concatenate([x0, m0], axis=-1))
+        x1 = x1 + ffn(jnp.concatenate([x1, m1], axis=-1))
         return x0, x1
+
+
+class MatchAssignment(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x0, x1):
+        d = self.dim
+        # final_proj and matchability are shared between the two images
+        final_proj = nn.Dense(d, name="final_proj")
+        matchability = nn.Dense(1, name="matchability")
+        md0 = final_proj(x0) / d**0.25
+        md1 = final_proj(x1) / d**0.25
+        sim = jnp.einsum("md,nd->mn", md0, md1)
+        z0 = matchability(x0)[:, 0]
+        z1 = matchability(x1)[:, 0]
+        m, n = sim.shape
+        cert = jax.nn.log_sigmoid(z0)[:, None] + jax.nn.log_sigmoid(z1)[None, :]
+        scores0 = jax.nn.log_softmax(sim, axis=1)
+        scores1 = jax.nn.log_softmax(sim, axis=0)
+        scores = jnp.full((m + 1, n + 1), 0.0, sim.dtype)
+        scores = scores.at[:m, :n].set(scores0 + scores1 + cert)
+        scores = scores.at[:m, n].set(jax.nn.log_sigmoid(-z0))
+        scores = scores.at[m, :n].set(jax.nn.log_sigmoid(-z1))
+        return scores, z0, z1
 
 
 class LightGlueNet(nn.Module):
     opts: LightGlueOptions
 
     @nn.compact
-    def __call__(self, desc0, desc1, coords0, coords1):
-        """desc: (K, D_in); coords: (K, 2) normalized to [-1, 1].
-        Returns (scores (K0+1, K1+1) log-assignment, matchability0/1)."""
-        d = self.opts.dim
-        proj = nn.Dense(d, name="input_proj")
+    def __call__(self, desc0, desc1, coords0, coords1, mask0=None, mask1=None):
+        """desc: (K, D_in); coords: (K, 2) normalized (center/scale).
+        Returns (log-assignment (K0+1, K1+1), matchability0, matchability1).
+        """
+        o = self.opts
+        proj = nn.Dense(o.dim, name="input_proj")
         x0 = proj(desc0)
         x1 = proj(desc1)
-        pos0 = _rotary_embed(coords0, d)
-        pos1 = _rotary_embed(coords1, d)
-        for i in range(self.opts.num_layers):
-            x0, x1 = GlueLayer(d, self.opts.num_heads, name=f"layer{i}")(x0, x1, pos0, pos1)
-        final = nn.Dense(d, name="final_proj")
-        f0 = final(x0)
-        f1 = final(x1)
-        sim = jnp.einsum("kd,ld->kl", f0, f1) / jnp.sqrt(d)
-        m0 = nn.Dense(1, name="matchability0")(x0)[:, 0]
-        m1 = nn.Dense(1, name="matchability1")(x1)[:, 0]
-        # double-softmax with matchability (LightGlue assignment)
-        z = (
-            jax.nn.log_softmax(sim, axis=1)
-            + jax.nn.log_softmax(sim, axis=0)
-            + jax.nn.log_sigmoid(m0)[:, None]
-            + jax.nn.log_sigmoid(m1)[None, :]
-        )
-        return z, m0, m1
+        posenc = FourierPosEnc(o.dim // o.num_heads, name="posenc")
+        cos0, sin0 = posenc(coords0)
+        cos1, sin1 = posenc(coords1)
+        for i in range(o.num_layers):
+            sb = SelfBlock(o.dim, o.num_heads, name=f"self{i}")  # shared weights
+            x0 = sb(x0, cos0, sin0, mask=mask0)
+            x1 = sb(x1, cos1, sin1, mask=mask1)
+            x0, x1 = CrossBlock(o.dim, o.num_heads, name=f"cross{i}")(
+                x0, x1, mask0=mask0, mask1=mask1
+            )
+        scores, z0, z1 = MatchAssignment(o.dim, name="assign")(x0, x1)
+        return scores, z0, z1
+
+
+def normalize_keypoints(coords: jnp.ndarray, image_size) -> jnp.ndarray:
+    """Official LightGlue normalization: shift by size/2, divide by
+    max(size)/2 (lightglue.normalize_keypoints)."""
+    size = jnp.asarray(image_size, jnp.float32)  # (w, h)
+    shift = size / 2.0
+    scale = jnp.max(size) / 2.0
+    return (coords - shift) / scale
 
 
 class LightGlueMatcher:
@@ -135,32 +205,150 @@ class LightGlueMatcher:
     (match_idx (K0,), match_mask (K0,), scores (K0,)) — the same contract
     as matchers.mutual_nn.match_descriptors."""
 
-    def __init__(self, options: LightGlueOptions = LightGlueOptions(), params=None, example_dim=256):
+    def __init__(
+        self,
+        options: LightGlueOptions = LightGlueOptions(),
+        params=None,
+        example_dim: Optional[int] = None,
+    ):
         self.options = options
+        if example_dim is not None and params is None:
+            options = options._replace(input_dim=example_dim)
+            self.options = options
         self.net = LightGlueNet(options)
         if params is None:
             k = jax.random.PRNGKey(0)
             params = self.net.init(
                 k,
-                jnp.zeros((8, example_dim)), jnp.zeros((8, example_dim)),
+                jnp.zeros((8, options.input_dim)), jnp.zeros((8, options.input_dim)),
                 jnp.zeros((8, 2)), jnp.zeros((8, 2)),
             )["params"]
         self.params = params
         self._fwd = jax.jit(
-            lambda p, d0, d1, c0, c1: self.net.apply({"params": p}, d0, d1, c0, c1)
+            lambda p, d0, d1, c0, c1, m0, m1: self.net.apply(
+                {"params": p}, d0, d1, c0, c1, m0, m1
+            )
+        )
+        self._fwd_batch = jax.jit(
+            jax.vmap(
+                lambda d0, d1, c0, c1, m0, m1: self.net.apply(
+                    {"params": self.params}, d0, d1, c0, c1, m0, m1
+                )
+            )
         )
 
-    def match(self, desc0, desc1, coords0, coords1, mask0, mask1, image_size):
-        w, h = image_size
-        norm = jnp.asarray([w, h], jnp.float32)
-        c0 = 2.0 * coords0 / norm - 1.0
-        c1 = 2.0 * coords1 / norm - 1.0
-        z, m0, m1 = self._fwd(self.params, desc0, desc1, c0, c1)
-        neg = jnp.asarray(-1e9, z.dtype)
-        z = jnp.where(mask0[:, None] & mask1[None, :], z, neg)
-        nn12 = jnp.argmax(z, axis=1)
-        nn21 = jnp.argmax(z, axis=0)
-        mutual = jnp.arange(z.shape[0]) == nn21[nn12]
-        score = jnp.exp(jnp.max(z, axis=1))
+    # ------------------------------------------------------------------
+    def _postprocess(self, z, mask0, mask1):
+        """z: (K0+1, K1+1) log-assignment (un-batched)."""
+        zi = z[:-1, :-1]
+        neg = jnp.asarray(-1e9, zi.dtype)
+        zi = jnp.where(mask0[:, None] & mask1[None, :], zi, neg)
+        nn12 = jnp.argmax(zi, axis=1)
+        nn21 = jnp.argmax(zi, axis=0)
+        mutual = jnp.arange(zi.shape[0]) == nn21[nn12]
+        score = jnp.exp(jnp.max(zi, axis=1))
         ok = mask0 & mutual & (score > self.options.match_threshold)
-        return jnp.where(ok, nn12, -1).astype(jnp.int32), ok, score
+        return jnp.where(ok, nn12, -1).astype(jnp.int32), ok, score.astype(jnp.float32)
+
+    def match(self, desc0, desc1, coords0, coords1, mask0, mask1, image_size):
+        c0 = normalize_keypoints(coords0, image_size)
+        c1 = normalize_keypoints(coords1, image_size)
+        z, _z0, _z1 = self._fwd(self.params, desc0, desc1, c0, c1, mask0, mask1)
+        return self._postprocess(z, mask0, mask1)
+
+    def match_batch(self, desc0, desc1, coords0, coords1, mask0, mask1, image_size):
+        """Batched over pairs: desc [P, K, D], coords [P, K, 2], mask [P, K]
+        -> (match_idx i32 [P, K], match_mask bool [P, K], scores f32 [P, K]).
+        Shaped for run_two_view_batch's precomputed-match inputs."""
+        c0 = normalize_keypoints(coords0, image_size)
+        c1 = normalize_keypoints(coords1, image_size)
+        z, _z0, _z1 = self._fwd_batch(desc0, desc1, c0, c1, mask0, mask1)
+        return jax.vmap(self._postprocess)(z, mask0, mask1)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(sd, opts: LightGlueOptions):
+    """Map the official LightGlue state_dict to Flax params.
+
+    Official keys (weights superpoint_lightglue.pth):
+      input_proj.{weight,bias}
+      posenc.Wr.weight
+      transformers.{i}.self_attn.{Wqkv,out_proj}.{weight,bias}
+      transformers.{i}.self_attn.ffn.{0,1,3}.{weight,bias}
+      transformers.{i}.cross_attn.{to_qk,to_v,to_out}.{weight,bias}
+      transformers.{i}.cross_attn.ffn.{0,1,3}.{weight,bias}
+      log_assignment.{i}.{matchability,final_proj}.{weight,bias}
+      token_confidence.{i}.token.{0}.{weight,bias}   (unused: early-exit)
+    Only the LAST log_assignment head is used at full depth.
+    """
+
+    def lin(prefix):
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+        out = {"kernel": jnp.asarray(w.T)}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32))
+        return out
+
+    def ln(prefix):
+        return {
+            "scale": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32)),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32)),
+        }
+
+    params = {
+        "input_proj": lin("input_proj"),
+        "posenc": {"Wr": {"kernel": jnp.asarray(np.asarray(sd["posenc.Wr.weight"], np.float32).T)}},
+    }
+    L = opts.num_layers
+    for i in range(L):
+        sa = f"transformers.{i}.self_attn"
+        ca = f"transformers.{i}.cross_attn"
+        params[f"self{i}"] = {
+            "Wqkv": lin(f"{sa}.Wqkv"),
+            "out_proj": lin(f"{sa}.out_proj"),
+            "ffn": {
+                "ffn0": lin(f"{sa}.ffn.0"),
+                "ffn1": ln(f"{sa}.ffn.1"),
+                "ffn3": lin(f"{sa}.ffn.3"),
+            },
+        }
+        params[f"cross{i}"] = {
+            "to_qk": lin(f"{ca}.to_qk"),
+            "to_v": lin(f"{ca}.to_v"),
+            "to_out": lin(f"{ca}.to_out"),
+            "ffn": {
+                "ffn0": lin(f"{ca}.ffn.0"),
+                "ffn1": ln(f"{ca}.ffn.1"),
+                "ffn3": lin(f"{ca}.ffn.3"),
+            },
+        }
+    last = L - 1
+    params["assign"] = {
+        "final_proj": lin(f"log_assignment.{last}.final_proj"),
+        "matchability": lin(f"log_assignment.{last}.matchability"),
+    }
+    return params
+
+
+def load_torch_weights(path: str, opts: LightGlueOptions = LightGlueOptions()):
+    """Load the official superpoint_lightglue.pth -> (Flax params, opts)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v for k, v in sd.items()}
+    n_layers = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("transformers.")
+    )
+    dim = int(sd["input_proj.weight"].shape[0])
+    input_dim = int(sd["input_proj.weight"].shape[1])
+    head_dim = 2 * int(sd["posenc.Wr.weight"].shape[0])  # Wr: 2 -> head_dim/2
+    opts = opts._replace(
+        num_layers=n_layers, dim=dim, input_dim=input_dim,
+        num_heads=dim // head_dim,
+    )
+    return convert_torch_state_dict(sd, opts), opts

@@ -90,13 +90,31 @@ def run_two_view_batch(
     pair_mask: jnp.ndarray,  # [P] valid pairs
     key: jax.Array,
     opts: TwoViewOptions = TwoViewOptions(),
+    match_idx: jnp.ndarray | None = None,  # i32[P, K] precomputed matches
+    match_mask: jnp.ndarray | None = None,  # bool[P, K]
+    match_score: jnp.ndarray | None = None,  # f32[P, K]
 ) -> TwoViewResult:
-    """The batched two-view forward pass. All shapes static; vmapped over P."""
+    """The batched two-view forward pass. All shapes static; vmapped over P.
+
+    When (match_idx, match_mask, match_score) are given — produced by a
+    learned matcher stage such as LightGlue (matchers/lightglue.py) — the
+    fused mutual-NN matching is skipped and verification runs on them
+    directly (parity: the reference's swappable MatcherBase feeding
+    two_view_estimator.run_2view).
+    """
     P, K, _ = kp_xy1.shape
     keys = jax.random.split(key, P)
+    use_precomputed = match_idx is not None
+    if not use_precomputed:
+        match_idx = jnp.zeros((P, K), jnp.int32)
+        match_mask = jnp.zeros((P, K), bool)
+        match_score = jnp.zeros((P, K), jnp.float32)
 
-    def one_pair(xy1, xy2, d1, d2, m1, m2, c1, c2, pm, k):
-        midx, mmask, mscore = match_descriptors(d1, d2, m1, m2, ratio=opts.matching_ratio)
+    def one_pair(xy1, xy2, d1, d2, m1, m2, c1, c2, pm, k, pmidx, pmmask, pmscore):
+        if use_precomputed:
+            midx, mmask, mscore = pmidx, pmmask, pmscore
+        else:
+            midx, mmask, mscore = match_descriptors(d1, d2, m1, m2, ratio=opts.matching_ratio)
         # correspondence arrays aligned to image-1 keypoints
         corr_i1 = jnp.arange(K, dtype=jnp.int32)
         corr_i2 = jnp.where(mmask, midx, 0)
@@ -167,7 +185,8 @@ def run_two_view_batch(
         )
 
     res = jax.vmap(one_pair)(
-        kp_xy1, kp_xy2, desc1, desc2, kp_mask1, kp_mask2, cal1, cal2, pair_mask, keys
+        kp_xy1, kp_xy2, desc1, desc2, kp_mask1, kp_mask2, cal1, cal2, pair_mask, keys,
+        match_idx, match_mask, match_score,
     )
     return TwoViewResult(
         i2Ri1=res[0], i2Ui1=res[1], corr_i1=res[2], corr_i2=res[3], corr_mask=res[4],

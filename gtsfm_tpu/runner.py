@@ -20,19 +20,61 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config_name", default="unified", help="named config or YAML path")
     p.add_argument(
         "--loader", default="olsson",
-        choices=["olsson", "colmap", "astrovision", "tanks_and_temples", "mobilebrick", "onedsfm"],
+        choices=[
+            "olsson", "colmap", "astrovision", "tanks_and_temples",
+            "mobilebrick", "onedsfm", "hilti", "argoverse", "yfcc",
+        ],
     )
     p.add_argument("--dataset_dirpath", required=True)
     p.add_argument("--images_dir", default=None, help="colmap loader images dir")
     p.add_argument("--colmap_files_dirpath", default=None)
+    p.add_argument("--argoverse_log_id", default=None, help="argoverse vehicle log id")
     p.add_argument("--max_resolution", type=int, default=760)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--output_root", default="results")
     p.add_argument("--run_mvs", action="store_true", help="dense plane-sweep MVS")
     p.add_argument("--run_gs", action="store_true", help="gaussian splatting")
     p.add_argument("--hierarchical", action="store_true", help="partitioned reconstruction")
+    p.add_argument(
+        "--cluster_optimizer", default=None,
+        choices=["mvo", "vggt", "fastvggt", "anysplat"],
+        help="per-cluster reconstruction engine (configs/vggt.yaml parity)",
+    )
+    p.add_argument("--use_cache", action="store_true",
+                   help="content-addressed disk caching of detect/two-view stages")
+    p.add_argument("--cache_root", default=None)
+    p.add_argument("--load_chunk_size", type=int, default=None,
+                   help="stream load+detect in chunks of N images (bounds host memory)")
+    # multi-host bring-up over DCN: the TPU analog of the reference's
+    # SSHCluster bootstrap (runner.py:337-345); all hosts run the same
+    # command with their process index
+    p.add_argument("--distributed_coordinator", default=None,
+                   help="host:port of process 0 (enables jax.distributed)")
+    p.add_argument("--distributed_num_processes", type=int, default=None)
+    p.add_argument("--distributed_process_id", type=int, default=None)
     p.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
     return p
+
+
+def maybe_init_distributed(args) -> bool:
+    """Initialize jax.distributed for multi-host (DCN) runs when coordinator
+    args are given. Must run before any jax backend use. Returns True when
+    the distributed runtime was initialized.
+
+    Parity: the reference's multi-node SSH cluster bring-up
+    (/root/reference/gtsfm/runner.py:337-345) — here each host joins one
+    jax.distributed job and the global device mesh extends over DCN.
+    """
+    if args.distributed_coordinator is None:
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=args.distributed_coordinator,
+        num_processes=args.distributed_num_processes,
+        process_id=args.distributed_process_id,
+    )
+    return True
 
 
 def build_loader(args):
@@ -65,6 +107,31 @@ def build_loader(args):
         from gtsfm_tpu.loader.datasets import OneDSFMLoader
 
         return OneDSFMLoader(args.dataset_dirpath, **kw)
+    if args.loader == "hilti":
+        from gtsfm_tpu.loader.hilti import HiltiLoader
+
+        return HiltiLoader(args.dataset_dirpath, **kw)
+    if args.loader == "argoverse":
+        from gtsfm_tpu.loader.datasets import ArgoverseLoader
+
+        log_id = args.argoverse_log_id
+        if log_id is None:
+            logs = sorted(
+                d for d in os.listdir(args.dataset_dirpath)
+                if os.path.isdir(os.path.join(args.dataset_dirpath, d))
+            )
+            if not logs:
+                raise ValueError("no argoverse logs under dataset_dirpath")
+            log_id = logs[0]
+        return ArgoverseLoader(
+            args.dataset_dirpath, log_id=log_id,
+            max_num_imgs=args.max_frames or 20,
+            max_resolution=args.max_resolution,
+        )
+    if args.loader == "yfcc":
+        from gtsfm_tpu.loader.datasets import YfccImbLoader
+
+        return YfccImbLoader(args.dataset_dirpath, max_resolution=args.max_resolution)
     from gtsfm_tpu.loader.colmap import ColmapLoader
 
     colmap_dir = args.colmap_files_dirpath or args.dataset_dirpath
@@ -74,6 +141,7 @@ def build_loader(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    maybe_init_distributed(args)
     from gtsfm_tpu.configs.config import build_scene_optimizer, load_config
     from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -88,6 +156,14 @@ def main(argv=None) -> int:
         so_cfg["run_gs"] = True
     if args.hierarchical:
         so_cfg["hierarchical"] = True
+    if args.cluster_optimizer:
+        so_cfg["cluster_optimizer"] = args.cluster_optimizer
+    if args.use_cache:
+        so_cfg["use_cache"] = True
+    if args.cache_root:
+        so_cfg["cache_root"] = args.cache_root
+    if args.load_chunk_size is not None:
+        so_cfg["load_chunk_size"] = args.load_chunk_size
     so = build_scene_optimizer(cfg)
     loader = build_loader(args)
     t0 = time.time()

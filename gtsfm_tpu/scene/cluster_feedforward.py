@@ -56,10 +56,33 @@ class ClusterFeedforward:
     def run(self, images: np.ndarray, cal) -> tuple:
         """images: (B, H, W) grayscale [0,1]; cal: batched calibration [B].
         -> (SfmData, metrics)."""
+        data, metrics, _raw = self.run_raw(images, cal)
+        return data, metrics
+
+    def run_raw(self, images: np.ndarray, cal) -> tuple:
+        """Like run() but also returns the raw model products
+        (poses, depth, conf) — the inputs depth_to_splats needs for the
+        AnySplat-style feed-forward splat path (cluster_anysplat.py parity).
+        """
         opts = self.options
         B, H, W = images.shape
-        model = _resolve_model(opts, (H, W), self.params)
+        # pad to the transformer's patch grid (the reference crops/pads VGGT
+        # inputs to 518px, loader_base.load_image_batch_vggt); crop the
+        # dense products back after inference
+        P = opts.model.patch_size
+        Hp = ((H + P - 1) // P) * P
+        Wp = ((W + P - 1) // P) * P
+        if (Hp, Wp) != (H, W):
+            padded = np.zeros((B, Hp, Wp), np.float32)
+            padded[:, :H, :W] = images
+            images = padded
+        model = _resolve_model(opts, (Hp, Wp), self.params)
         poses, depth, conf, focal = model.run(jnp.asarray(images, jnp.float32))
+        if (Hp, Wp) != (H, W):
+            depth = depth[:, :H, :W]
+            hp_c = max(1, (H + P - 1) // P)
+            wp_c = max(1, (W + P - 1) // P)
+            conf = conf[:, :hp_c, :wp_c]
         data = feedforward_to_sfm_data(
             poses, np.asarray(depth), np.asarray(conf), cal,
             conf_threshold=opts.conf_threshold,
@@ -70,7 +93,7 @@ class ClusterFeedforward:
             fixed = jnp.zeros(B, bool).at[0].set(True)
             data, ba_m = ba.run(data, fixed_cam=fixed)
             metrics["post_ba"] = ba_m
-        return data, metrics
+        return data, metrics, (poses, np.asarray(depth), np.asarray(conf))
 
 
 class ClusterFastFeedforward(ClusterFeedforward):

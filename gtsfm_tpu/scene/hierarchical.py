@@ -35,8 +35,9 @@ class HierarchicalOptions(NamedTuple):
 class HierarchicalReconstruction:
     """Runs the partitioned back-end given flat front-end outputs."""
 
-    def __init__(self, options: HierarchicalOptions = HierarchicalOptions()):
+    def __init__(self, options: HierarchicalOptions = HierarchicalOptions(), mesh=None):
         self.options = options
+        self.mesh = mesh
 
     def run(
         self,
@@ -64,7 +65,7 @@ class HierarchicalReconstruction:
         def edge_subset(sub_edges: np.ndarray) -> np.ndarray:
             return np.array([eindex[(int(a), int(b))] for a, b in sub_edges], np.int64)
 
-        mvo = MultiViewOptimizer(opts.mvo)
+        mvo = MultiViewOptimizer(opts.mvo, mesh=self.mesh)
         cluster_metrics = []
 
         def run_leaf(node: ClusterTree):

@@ -62,7 +62,8 @@ class MVOOptions(NamedTuple):
 
 
 class MultiViewOptimizer:
-    def __init__(self, options: MVOOptions = MVOOptions()):
+    def __init__(self, options: MVOOptions = MVOOptions(), mesh=None):
+        self.mesh = mesh
         self.options = options
 
     def run(
@@ -218,7 +219,7 @@ class MultiViewOptimizer:
 
         # --- staged global bundle adjustment -----------------------------
         t0 = time.perf_counter()
-        ba = BundleAdjustment(opts.ba)
+        ba = BundleAdjustment(opts.ba, mesh=self.mesh)
         # gauge: freeze the two estimated cameras with most measurements
         counts = np.bincount(meas_cam, minlength=num_images) * cam_valid
         anchors = np.argsort(-counts)[:1]

@@ -2,12 +2,17 @@
 
 Parity: /root/reference/gtsfm/scene_optimizer.py:99-440 (SceneOptimizer.run:
 retriever -> correspondence/two-view stage -> graph partitioning -> per-
-cluster optimization -> merging -> export + metrics).
+cluster optimization -> merging -> export + metrics). Every front-end stage
+is a swappable component (detector / matcher / global descriptor), composed
+by configs/config.py through frontend/registry.py — the analog of the
+reference's Hydra object tree (configs/unified.yaml, runner.py:202-311).
 
 TPU-first shape: host Python drives a sequence of jitted batched device
-stages. Round-1 scope runs a single cluster (SinglePartitioner equivalent);
-the partitioned/hierarchical path plugs in via gtsfm_tpu.partitioner +
-gtsfm_tpu.merging.
+stages. When more than one device is visible, pair batches and BA shard
+over a (data, model) jax.sharding.Mesh (parallel/sharding.py) — the
+equivalent of the reference's per-pair Dask fan-out
+(two_view_estimator.py:846-886). Single-cluster MVO or the partitioned/
+hierarchical path via gtsfm_tpu.partitioner + gtsfm_tpu.merging.
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from contextlib import nullcontext as _nullcontext
 
 from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
 from gtsfm_tpu.evaluation.metrics import (
@@ -55,6 +62,22 @@ class SceneOptimizerOptions(NamedTuple):
     gs_iterations: int = 800
     mvs_num_depths: int = 64
     mvs_num_source_views: int = 4
+    # per-cluster reconstruction engine: mvo (classic front-end + back-end)
+    # or a feed-forward model slot (cluster_optimizer/cluster_vggt.py:28-84,
+    # cluster_fast_vggt.py, cluster_anysplat.py, configs/vggt.yaml parity)
+    cluster_optimizer: str = "mvo"  # mvo | vggt | fastvggt | anysplat
+    feedforward_post_ba: bool = True
+    # content-addressed disk caching of detection + two-view stages — the
+    # reference's cacher wrapping (configs/unified.yaml,
+    # two_view_estimator_cacher.py:21-60); a re-run replays cached stages
+    use_cache: bool = False
+    cache_root: Optional[str] = None
+    # shard pair batches / BA over all visible devices when more than one
+    use_mesh: bool = True
+    # chunked load+detect: images per host-memory chunk (0 = whole scene at
+    # once); bounds peak host memory to O(chunk), parity with the
+    # reference's image futures (loader_base.py:363-391)
+    load_chunk_size: int = 0
 
 
 class SceneOptimizer:
@@ -62,10 +85,45 @@ class SceneOptimizer:
         self,
         options: SceneOptimizerOptions = SceneOptimizerOptions(),
         retriever=None,
+        detector=None,
+        matcher=None,
+        global_descriptor=None,
     ):
+        """detector/matcher/global_descriptor follow the registry contracts
+        (frontend/registry.py); None selects the weight-free defaults
+        (DoGSift, fused mutual-NN, tiny color-moment descriptor)."""
         self.options = options
         self.retriever = retriever or SequentialRetriever()
-        self.detector = DoGSift(options.detector)
+        if detector is None:
+            from gtsfm_tpu.frontend.registry import _VmappedDetectorAdapter
+
+            detector = _VmappedDetectorAdapter(
+                DoGSift(options.detector), options.detector.max_keypoints
+            )
+        self.detector = detector
+        self.matcher = matcher  # None = fused mutual-NN inside the two-view kernel
+        self.global_descriptor = global_descriptor
+        self._mesh = None
+        if options.use_mesh:
+            try:
+                if len(jax.devices()) > 1:
+                    from gtsfm_tpu.parallel.sharding import make_mesh
+
+                    self._mesh = make_mesh()
+            except RuntimeError:
+                pass
+        self._detect_cache = None
+        self._two_view_cacher = None
+        if options.use_cache:
+            from gtsfm_tpu.frontend.two_view_cacher import TwoViewEstimatorCacher
+            from gtsfm_tpu.utils.cache import DiskCache
+
+            self._detect_cache = DiskCache("detector", root=options.cache_root)
+            self._two_view_cacher = TwoViewEstimatorCacher(
+                self._run_two_view_uncached,
+                options_repr=repr((options.two_view, type(self.matcher).__name__)),
+                root=options.cache_root,
+            )
 
     # ------------------------------------------------------------------
     def run(self, loader: LoaderBase) -> tuple:
@@ -75,23 +133,40 @@ class SceneOptimizer:
         n = len(loader)
         metrics_groups = []
 
+        # ---- feed-forward cluster optimizer (VGGT/FastVGGT/AnySplat slot,
+        # cluster_vggt.py:28-84 parity): bypasses the classic front-end ----
+        if opts.cluster_optimizer != "mvo":
+            return self._run_feedforward(loader, t_start, metrics_groups)
+
         # ---- load + detect -------------------------------------------
         t0 = time.perf_counter()
-        images, sizes = loader.load_grayscale_batch()
         cals = loader.get_all_intrinsics()
         cal = batch_calibrations(cals)
-        kp_xy, kp_mask, descs = self._detect_batch(images, sizes)
+        needs_global_descs = getattr(
+            self.retriever, "__class__", type(None)
+        ).__name__ in ("SimilarityRetriever", "JointSimilaritySequentialRetriever")
+        needs_images_later = opts.run_mvs or opts.run_gs
+        images = None
+        global_descs = None
+        if opts.load_chunk_size and not needs_images_later:
+            # streaming path: load+detect(+describe) per chunk, free image
+            # arrays immediately — peak host memory O(chunk), not O(scene)
+            kp_xy, kp_mask, descs, global_descs, sizes = self._load_detect_chunked(
+                loader, want_global_descs=needs_global_descs
+            )
+        else:
+            images, sizes = loader.load_grayscale_batch()
+            kp_xy, kp_mask, descs = self._detect_batch(images, sizes)
+            if needs_global_descs:
+                global_descs = self._global_descriptor().describe_batch(images)
+        self._image_wh = (
+            max(w for (_h, w) in sizes),
+            max(h for (h, _w) in sizes),
+        )
         detect_sec = time.perf_counter() - t0
 
         # ---- retrieve pairs ------------------------------------------
         t0 = time.perf_counter()
-        global_descs = None
-        if getattr(self.retriever, "__class__", type(None)).__name__ in (
-            "SimilarityRetriever", "JointSimilaritySequentialRetriever",
-        ):
-            from gtsfm_tpu.frontend.global_descriptors.descriptors import TinyImageDescriptor
-
-            global_descs = TinyImageDescriptor().describe_batch(images)
         try:
             pairs = self.retriever.get_image_pairs(
                 n, global_descriptors=global_descs, loader=loader
@@ -160,11 +235,12 @@ class SceneOptimizer:
             )
 
             hier = HierarchicalReconstruction(
-                HierarchicalOptions(mvo=opts.mvo, max_cluster_size=opts.max_cluster_size)
+                HierarchicalOptions(mvo=opts.mvo, max_cluster_size=opts.max_cluster_size),
+                mesh=self._mesh,
             )
             data, mvo_metrics = hier.run(n, pairs, tvr, kp_xy, cal, meta=meta)
         else:
-            mvo = MultiViewOptimizer(opts.mvo)
+            mvo = MultiViewOptimizer(opts.mvo, mesh=self._mesh)
             data, mvo_metrics = mvo.run(
                 num_images=n,
                 pairs=pairs,
@@ -185,6 +261,57 @@ class SceneOptimizer:
         )
         metrics_groups.append(mvo_group)
 
+        return self._finalize(loader, data, mvo_metrics, images, metrics_groups, t_start)
+
+    # ------------------------------------------------------------------
+    def _run_feedforward(self, loader: LoaderBase, t_start, metrics_groups):
+        """Feed-forward reconstruction of the whole scene through the
+        VGGT-class model slot (cluster_optimizer/cluster_vggt.py:28-84,
+        cluster_anysplat.py parity), then the common eval/export tail."""
+        opts = self.options
+        from gtsfm_tpu.scene.cluster_feedforward import (
+            ClusterFastFeedforward,
+            ClusterFeedforward,
+            ClusterFeedforwardOptions,
+        )
+
+        t0 = time.perf_counter()
+        images, sizes = loader.load_grayscale_batch()
+        cal = batch_calibrations(loader.get_all_intrinsics())
+        ff_opts = ClusterFeedforwardOptions(run_post_ba=opts.feedforward_post_ba)
+        cls = ClusterFastFeedforward if opts.cluster_optimizer == "fastvggt" else ClusterFeedforward
+        ff = cls(ff_opts)
+        data, ff_metrics, (poses, depth, conf) = ff.run_raw(images, cal)
+        meta = SceneMeta(
+            image_names=loader.image_filenames(),
+            image_sizes=[(w, h) for (h, w) in sizes],
+        )
+        data = data.replace(meta=meta)
+        ff_metrics["feedforward_sec"] = time.perf_counter() - t0
+        metrics_groups.append(
+            MetricsGroup(
+                "feedforward_metrics",
+                [Metric(k, v) for k, v in ff_metrics.items() if isinstance(v, (int, float))],
+            )
+        )
+        gs_init = None
+        if opts.cluster_optimizer == "anysplat":
+            from gtsfm_tpu.scene.cluster_feedforward import depth_to_splats
+
+            gs_init = depth_to_splats(
+                data.poses, depth, conf, cal, images=images,
+                conf_threshold=ff_opts.conf_threshold,
+            )
+        return self._finalize(
+            loader, data, ff_metrics, images, metrics_groups, t_start, gs_init=gs_init
+        )
+
+    # ------------------------------------------------------------------
+    def _finalize(
+        self, loader, data, mvo_metrics, images, metrics_groups, t_start, gs_init=None
+    ):
+        """Common tail: GT eval, optional MVS/splatting, metrics, export."""
+        opts = self.options
         # ---- evaluation vs GT ----------------------------------------
         gt = loader.get_gt_poses()
         if gt is not None and not mvo_metrics.get("failed"):
@@ -223,12 +350,15 @@ class SceneOptimizer:
 
             t0 = time.perf_counter()
             gs_trainer = GaussianSplatting(GSTrainOptions(iterations=opts.gs_iterations))
-            gs_result, gs_metrics = gs_trainer.train(data, images)
+            gs_result, gs_metrics = gs_trainer.train(data, images, gs_init=gs_init)
             gs_metrics["gs_sec"] = time.perf_counter() - t0
             metrics_groups.append(
                 MetricsGroup("gaussian_splatting_metrics",
                              [Metric(k, v) for k, v in gs_metrics.items()])
             )
+        elif gs_init is not None:
+            # anysplat slot without training: export the feed-forward splats
+            gs_result = gs_init
 
         total_sec = time.perf_counter() - t_start
         metrics_groups.append(
@@ -266,27 +396,78 @@ class SceneOptimizer:
         return data, metrics_groups
 
     # ------------------------------------------------------------------
-    def _detect_batch(self, images: np.ndarray, sizes):
-        """Chunked vmapped detection over the padded image batch."""
+    def _global_descriptor(self):
+        if self.global_descriptor is None:
+            from gtsfm_tpu.frontend.global_descriptors.descriptors import (
+                TinyImageDescriptor,
+            )
+
+            self.global_descriptor = TinyImageDescriptor()
+        return self.global_descriptor
+
+    # ------------------------------------------------------------------
+    def _load_detect_chunked(self, loader: LoaderBase, want_global_descs: bool):
+        """Streaming load+detect: images come in chunks of load_chunk_size
+        and are dropped right after detection/description, so peak host
+        memory stays O(chunk) for 100+ image scenes (parity with the
+        reference's image futures, loader_base.py:363-391)."""
         opts = self.options
-        B = opts.image_batch_size
-        n = images.shape[0]
-        K = opts.detector.max_keypoints
+        n = len(loader)
+        C = opts.load_chunk_size
+        K = self.detector.max_keypoints
         kp_xy = np.zeros((n, K, 2), np.float32)
         kp_mask = np.zeros((n, K), bool)
         descs = None
-        det = jax.jit(
-            jax.vmap(lambda im: self.detector(im))
-        )
+        gdescs = None
+        sizes = [None] * n
+        for s in range(0, n, C):
+            idx = list(range(s, min(s + C, n)))
+            images, csizes = loader.load_grayscale_batch(indices=idx)
+            cxy, cmask, cd = self._detect_batch(images, csizes)
+            if descs is None:
+                descs = np.zeros((n, K, cd.shape[-1]), np.float32)
+            kp_xy[s : s + len(idx)] = cxy
+            kp_mask[s : s + len(idx)] = cmask
+            descs[s : s + len(idx)] = cd
+            for j, sz in zip(idx, csizes):
+                sizes[j] = sz
+            if want_global_descs:
+                g = self._global_descriptor().describe_batch(images)
+                if gdescs is None:
+                    gdescs = np.zeros((n, g.shape[-1]), np.float32)
+                gdescs[s : s + len(idx)] = g
+            del images
+        return kp_xy, kp_mask, descs, gdescs, sizes
+
+    # ------------------------------------------------------------------
+    def _detect_batch(self, images: np.ndarray, sizes):
+        """Chunked detection over the padded image batch via the pluggable
+        detector component, with border-validity masking and an optional
+        content-addressed cache (frontend/cacher parity)."""
+        opts = self.options
+        if self._detect_cache is not None:
+            from gtsfm_tpu.utils.cache import content_key
+
+            key = content_key(
+                images[:, ::8, ::8], np.asarray(sizes),
+                type(self.detector.detector).__name__
+                if hasattr(self.detector, "detector") else type(self.detector).__name__,
+                self.detector.max_keypoints,
+            )
+            hit = self._detect_cache.get(key)
+            if hit is not None:
+                return hit
+        B = opts.image_batch_size
+        n = images.shape[0]
+        K = self.detector.max_keypoints
+        kp_xy = np.zeros((n, K, 2), np.float32)
+        kp_mask = np.zeros((n, K), bool)
+        descs = None
         for s in range(0, n, B):
-            chunk = jnp.asarray(images[s : s + B])
-            kps, d = det(chunk)
-            d = np.asarray(d)
+            coords, mask, d = self.detector.detect_batch(images[s : s + B])
             if descs is None:
                 descs = np.zeros((n, K, d.shape[-1]), np.float32)
-            coords = np.asarray(kps.coordinates)
-            mask = np.asarray(kps.mask)
-            for b in range(chunk.shape[0]):
+            for b in range(coords.shape[0]):
                 h, w = sizes[s + b]
                 inb = (
                     (coords[b, :, 0] < w - 4)
@@ -297,11 +478,22 @@ class SceneOptimizer:
                 kp_xy[s + b] = coords[b]
                 kp_mask[s + b] = mask[b] & inb
                 descs[s + b] = d[b]
+        if self._detect_cache is not None:
+            self._detect_cache.put(key, (kp_xy, kp_mask, descs))
         return kp_xy, kp_mask, descs
 
     # ------------------------------------------------------------------
     def _run_two_view(self, pairs, kp_xy, kp_mask, descs, cal):
-        """Chunked batched two-view estimation; returns numpy dict."""
+        """Two-view estimation, optionally through the content-addressed
+        disk cacher (two_view_estimator_cacher.py parity)."""
+        if self._two_view_cacher is not None:
+            return self._two_view_cacher.run(pairs, kp_xy, kp_mask, descs, cal)
+        return self._run_two_view_uncached(pairs, kp_xy, kp_mask, descs, cal)
+
+    # ------------------------------------------------------------------
+    def _run_two_view_uncached(self, pairs, kp_xy, kp_mask, descs, cal):
+        """Chunked batched two-view estimation; returns numpy dict. Pair
+        chunks shard over the device mesh when one is available."""
         opts = self.options
         P = len(pairs)
         B = opts.pair_batch_size
@@ -318,6 +510,7 @@ class SceneOptimizer:
             "valid": np.zeros(P, bool),
         }
         key = jax.random.PRNGKey(opts.seed)
+        mesh = self._mesh if (self._mesh is not None and B % self._mesh.shape["data"] == 0) else None
         for s in range(0, P, B):
             chunk = pairs[s : s + B]
             pb = len(chunk)
@@ -325,7 +518,7 @@ class SceneOptimizer:
             i1 = np.concatenate([chunk[:, 0], np.zeros(pad, np.int32)])
             i2 = np.concatenate([chunk[:, 1], np.zeros(pad, np.int32)])
             pm = np.concatenate([np.ones(pb, bool), np.zeros(pad, bool)])
-            res = run_two_view_batch(
+            batch = dict(
                 kp_xy1=jnp.asarray(kp_xy[i1]),
                 kp_xy2=jnp.asarray(kp_xy[i2]),
                 desc1=jnp.asarray(descs[i1]),
@@ -335,9 +528,28 @@ class SceneOptimizer:
                 cal1=jax.tree.map(lambda a: a[jnp.asarray(i1)], cal),
                 cal2=jax.tree.map(lambda a: a[jnp.asarray(i2)], cal),
                 pair_mask=jnp.asarray(pm),
-                key=jax.random.fold_in(key, s),
-                opts=opts.two_view,
             )
+            if mesh is not None:
+                from gtsfm_tpu.parallel.sharding import shard_pair_batch
+
+                batch = shard_pair_batch(mesh, batch)
+            matches = {}
+            if self.matcher is not None:
+                midx, mmask, mscore = self.matcher.match_batch(
+                    batch["desc1"], batch["desc2"],
+                    batch["kp_xy1"], batch["kp_xy2"],
+                    batch["kp_mask1"], batch["kp_mask2"],
+                    image_size=getattr(self, "_image_wh", (1024, 1024)),
+                )
+                matches = dict(match_idx=midx, match_mask=mmask, match_score=mscore)
+            ctx = mesh if mesh is not None else _nullcontext()
+            with ctx:
+                res = run_two_view_batch(
+                    **batch,
+                    key=jax.random.fold_in(key, s),
+                    opts=opts.two_view,
+                    **matches,
+                )
             for name, attr in [
                 ("i2Ri1", res.i2Ri1), ("i2Ui1", res.i2Ui1),
                 ("corr_i1", res.corr_i1), ("corr_i2", res.corr_i2),

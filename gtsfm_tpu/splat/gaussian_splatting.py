@@ -71,7 +71,10 @@ class GaussianSplatting:
     def __init__(self, options: GSTrainOptions = GSTrainOptions()):
         self.options = options
 
-    def train(self, data: SfmData, images: np.ndarray, seed: int = 0):
+    def train(self, data: SfmData, images: np.ndarray, seed: int = 0, gs_init=None):
+        """gs_init: optional GSData to start from (e.g. the AnySplat-style
+        feed-forward depth lift, scene/cluster_feedforward.depth_to_splats)
+        instead of the sparse-point init."""
         opts = self.options
         imgs = np.asarray(images, np.float32)
         if imgs.ndim == 3:
@@ -80,11 +83,14 @@ class GaussianSplatting:
         pose_mask = np.asarray(data.pose_mask)
         cam_ids = np.nonzero(pose_mask)[0]
 
-        # init from sparse points
-        tm = np.asarray(data.track_mask)
-        pts = np.asarray(data.points)[tm]
-        G = min(opts.max_gaussians, max(len(pts) * 4, 256))
-        gs = GSData.from_points(pts, max_gaussians=G)
+        if gs_init is not None:
+            gs = gs_init
+        else:
+            # init from sparse points
+            tm = np.asarray(data.track_mask)
+            pts = np.asarray(data.points)[tm]
+            G = min(opts.max_gaussians, max(len(pts) * 4, 256))
+            gs = GSData.from_points(pts, max_gaussians=G)
 
         Ks = np.asarray(data.cal.K())
         poses = data.poses
