@@ -1,15 +1,19 @@
-"""Driver benchmark: two-view front-end throughput on the real chip.
+"""Driver benchmark: the BASELINE.json metric set on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Primary metric (stable across rounds, comparable to
+BENCH_r01): two-view front-end pair throughput. The "extra" dict carries
+the rest of the BASELINE.json driver set — BA LM iterations/sec and the
+Lund Door end-to-end wall-clock — plus a FLOPs model so pairs/s can be
+read as achieved compute (MFU) rather than a bare rate.
 
-Metric: image pairs/sec through the full batched two-view stage (mutual-NN
-matching over 1024 keypoints x 128-d descriptors, 512-hypothesis essential
-RANSAC with LO + GN polish, inlier support) — the dominant axis of the
-reference pipeline (BASELINE.md north-star: front-end pair throughput).
-vs_baseline normalizes against 20 pairs/s, a generous estimate of the
-reference's GPU SuperPoint+LightGlue+USAC per-pair task throughput
-(reference runs one Dask task per pair; USAC+2-view BA alone are
-10-100 ms/pair on CPU).
+Baselines (the reference is not runnable in this image — no gtsam — so
+these are documented order-of-magnitude anchors, not measurements):
+  - 20 pairs/s: reference GPU SuperPoint+LightGlue+USAC per-pair Dask task
+    throughput (USAC + 2-view BA alone are 10-100 ms/pair).
+  - 10 BA LM iters/s: GTSAM LM on a 64-camera / 4k-track problem (CPU,
+    per-iteration sparse factorization ~100 ms).
+  - 600 s Door wall-clock: reference CI door-12 benchmark job scale
+    (ubuntu CPU, res 1296; /root/reference/.github/workflows/ci.yml:61).
 """
 
 import json
@@ -18,13 +22,9 @@ import time
 import numpy as np
 
 
-def main():
+def _two_view_bench():
     import jax
     import jax.numpy as jnp
-
-    from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
 
     from gtsfm_tpu.frontend.two_view import TwoViewOptions, run_two_view_batch
     from gtsfm_tpu.frontend.verifiers.essential import RansacOptions
@@ -72,11 +72,11 @@ def main():
         cal2=cal,
         pair_mask=jnp.ones(P, bool),
     )
-    opts = TwoViewOptions(ransac=RansacOptions(num_hypotheses=512))
+    H = 512
+    opts = TwoViewOptions(ransac=RansacOptions(num_hypotheses=H))
     key = jax.random.PRNGKey(0)
 
-    # compile
-    res = run_two_view_batch(**batch, key=key, opts=opts)
+    res = run_two_view_batch(**batch, key=key, opts=opts)  # compile
     float(jnp.sum(res.num_inliers))
 
     n_it = 10
@@ -87,17 +87,144 @@ def main():
     dt = (time.perf_counter() - t0) / n_it
     pairs_per_sec = P / dt
 
-    baseline_pairs_per_sec = 20.0
-    print(
-        json.dumps(
-            {
-                "metric": "two_view_pairs_per_sec",
-                "value": round(pairs_per_sec, 1),
-                "unit": "pairs/s (1024kp, 512-hyp E-RANSAC + GN polish)",
-                "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 2),
-            }
-        )
+    # FLOPs model (per pair): mutual-NN score matmul 2*K^2*D; E-RANSAC
+    # scoring H hypotheses x K points x ~60 flops (E apply + Sampson) x 2
+    # passes (score + LO); GN polish ~ 10 iters x K x 200.
+    K = n_pts
+    flops_per_pair = 2 * K * K * D + 2 * H * K * 60 + 10 * K * 200
+    tflops = pairs_per_sec * flops_per_pair / 1e12
+    # v5e peak: 197 TFLOP/s bf16 (f32 path ~1/4 of that); MFU vs bf16 peak.
+    mfu_pct = 100.0 * tflops / 197.0
+    return pairs_per_sec, tflops, mfu_pct
+
+
+def _ba_bench():
+    """LM iterations/sec on a realistic synthetic problem (64 cams, 4096
+    tracks, ~24k measurements), Schur-PCG with 40 CG iters per LM iter."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.bundle.ba import BAOptions, _optimize_jit, problem_from_sfm_data
+    from gtsfm_tpu.common.sfm_data import SfmData
+    from gtsfm_tpu.geometry import Cal3Bundler, SE3
+    from gtsfm_tpu.geometry.so3 import expmap
+
+    rng = np.random.default_rng(1)
+    n_cam, n_track, obs_per_track = 64, 4096, 6
+    pts = rng.uniform(-2, 2, (n_track, 3)).astype(np.float32)
+    ang = np.linspace(0, 2 * np.pi, n_cam, endpoint=False)
+    centers = np.stack([8 * np.cos(ang), 8 * np.sin(ang), np.zeros(n_cam)], 1).astype(np.float32)
+    Rws, ts = [], []
+    for c in centers:
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        R = np.stack([x, np.cross(z, x), z], 1).T  # world->cam
+        Rws.append(R)
+        ts.append(-R @ c)
+    Rws, ts = np.stack(Rws), np.stack(ts)
+
+    m_cam = rng.integers(0, n_cam, (n_track, obs_per_track))
+    meas_cam = m_cam.reshape(-1).astype(np.int32)
+    meas_track = np.repeat(np.arange(n_track, dtype=np.int32), obs_per_track)
+    pc = np.einsum("mij,mj->mi", Rws[meas_cam], pts[meas_track]) + ts[meas_cam]
+    uv = 500.0 * pc[:, :2] / np.maximum(pc[:, 2:3], 0.1) + 400.0
+    uv += rng.normal(0, 1.0, uv.shape)
+    M = meas_cam.shape[0]
+
+    cal = Cal3Bundler.create(
+        jnp.full(n_cam, 500.0), jnp.zeros(n_cam), jnp.zeros(n_cam),
+        jnp.full(n_cam, 400.0), jnp.full(n_cam, 400.0),
     )
+    noise_rot = expmap(jnp.asarray(rng.normal(0, 0.02, (n_cam, 3)), jnp.float32))
+    poses = SE3(
+        R=jnp.einsum("nij,njk->nik", noise_rot, jnp.asarray(Rws)),
+        t=jnp.asarray(ts + rng.normal(0, 0.05, ts.shape), jnp.float32),
+    )
+    data = SfmData(
+        poses=poses,
+        pose_mask=jnp.ones(n_cam, bool),
+        cal=cal,
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape), jnp.float32),
+        track_mask=jnp.ones(n_track, bool),
+        meas_cam=jnp.asarray(meas_cam),
+        meas_track=jnp.asarray(meas_track),
+        meas_uv=jnp.asarray(uv, jnp.float32),
+        meas_mask=jnp.ones(M, bool),
+    )
+    prob = problem_from_sfm_data(data, fixed_cam=jnp.arange(n_cam) == 0)
+    opts = BAOptions(max_iterations=30, cg_iterations=40)
+
+    _, c0, cf, _ = _optimize_jit(prob, opts)  # compile
+    float(cf)
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        _, c0, cf, _ = _optimize_jit(prob, opts)
+        float(cf)
+    dt = (time.perf_counter() - t0) / n_runs
+    assert float(cf) < float(c0), "BA bench did not reduce cost"
+    return opts.max_iterations / dt, M
+
+
+def _door_bench():
+    """Lund Door end-to-end wall-clock via the production SceneOptimizer
+    (DoG-SIFT weight-free front-end, res 480 — the integration-test config,
+    which holds rot<2deg / trans<1.0 gates)."""
+    import os
+    import tempfile
+
+    door = "/root/reference/tests/data/set1_lund_door"
+    if not os.path.isdir(door):
+        return None
+    from gtsfm_tpu.frontend.detectors.dog_sift import DoGSiftOptions
+    from gtsfm_tpu.loader.olsson import OlssonLoader
+    from gtsfm_tpu.retriever.retrievers import ExhaustiveRetriever
+    from gtsfm_tpu.scene.scene_optimizer import SceneOptimizer, SceneOptimizerOptions
+
+    with tempfile.TemporaryDirectory() as tmp:
+        loader = OlssonLoader(door, max_resolution=480)
+        so = SceneOptimizer(
+            SceneOptimizerOptions(
+                detector=DoGSiftOptions(max_keypoints=1200, contrast_threshold=0.008),
+                output_root=tmp,
+            ),
+            retriever=ExhaustiveRetriever(),
+        )
+        t0 = time.perf_counter()
+        data, _groups = so.run(loader)
+        dt = time.perf_counter() - t0
+        assert int(data.number_tracks()) > 300
+    return dt
+
+
+def main():
+    from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    pairs_per_sec, tflops, mfu_pct = _two_view_bench()
+    ba_iters_per_sec, ba_meas = _ba_bench()
+    door_sec = _door_bench()
+
+    baseline_pairs, baseline_ba, baseline_door = 20.0, 10.0, 600.0
+    out = {
+        "metric": "two_view_pairs_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s (1024kp, 512-hyp E-RANSAC + GN polish)",
+        "vs_baseline": round(pairs_per_sec / baseline_pairs, 2),
+        "extra": {
+            "two_view_tflops_per_sec": round(tflops, 3),
+            "two_view_mfu_pct_of_bf16_peak": round(mfu_pct, 3),
+            "ba_lm_iters_per_sec": round(ba_iters_per_sec, 2),
+            "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, 40 CG/LM",
+            "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
+            "door_e2e_wall_clock_sec": None if door_sec is None else round(door_sec, 1),
+            "door_vs_baseline": None if door_sec is None else round(baseline_door / door_sec, 2),
+            "baselines": "documented anchors, reference not runnable here (see module docstring)",
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
