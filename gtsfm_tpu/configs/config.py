@@ -99,6 +99,7 @@ def build_scene_optimizer(cfg: dict) -> SceneOptimizer:
     may also live at ``scene_optimizer.detector`` (legacy DoGSift-only form).
     """
     from gtsfm_tpu.frontend.registry import (
+        build_correspondence,
         build_detector,
         build_global_descriptor,
         build_matcher,
@@ -129,10 +130,12 @@ def build_scene_optimizer(cfg: dict) -> SceneOptimizer:
         build_global_descriptor(cfg["global_descriptor"])
         if cfg.get("global_descriptor") else None
     )
+    correspondence = build_correspondence(cfg.get("correspondence"))
     return SceneOptimizer(
         so_opts,
         retriever=retriever,
         detector=detector,
         matcher=matcher,
         global_descriptor=global_descriptor,
+        correspondence=correspondence,
     )

@@ -135,3 +135,42 @@ class ColmapCorrespondenceGenerator:
             k: (np.asarray(v[0], np.float32).reshape(-1, 2), np.asarray(v[1], np.float32).reshape(-1, 2))
             for k, v in out.items()
         }
+
+
+class DenseCorrespondenceGenerator:
+    """Direct image-correspondence generator over a per-pair dense matcher
+    (LoFTR-class DenseImageMatcher), the ImageCorrespondenceGenerator role
+    (image_correspondence_generator.py): generate(images, pairs) ->
+    {(i1, i2): (uv1, uv2)} in pixels, ready for keypoint aggregation."""
+
+    def __init__(self, matcher=None):
+        if matcher is None:
+            from gtsfm_tpu.frontend.matchers.dense_matcher import DenseImageMatcher
+
+            matcher = DenseImageMatcher()
+        self.matcher = matcher
+
+    def generate(self, images, pairs) -> dict:
+        import jax.numpy as jnp
+
+        out = {}
+        for i1, i2 in np.asarray(pairs):
+            i1, i2 = int(i1), int(i2)
+            im1 = np.asarray(images[i1], np.float32)
+            im2 = np.asarray(images[i2], np.float32)
+            # dense matcher wants equal shapes per pair: pad to the union
+            H = max(im1.shape[0], im2.shape[0])
+            W = max(im1.shape[1], im2.shape[1])
+            p1 = np.zeros((H, W), np.float32)
+            p2 = np.zeros((H, W), np.float32)
+            p1[: im1.shape[0], : im1.shape[1]] = im1 if im1.ndim == 2 else im1.mean(-1)
+            p2[: im2.shape[0], : im2.shape[1]] = im2 if im2.ndim == 2 else im2.mean(-1)
+            uv1, uv2, _score, mask = self.matcher.match_images(
+                jnp.asarray(p1), jnp.asarray(p2)
+            )
+            m = np.asarray(mask)
+            out[(i1, i2)] = (
+                np.asarray(uv1)[m].astype(np.float32),
+                np.asarray(uv2)[m].astype(np.float32),
+            )
+        return out

@@ -188,3 +188,48 @@ def build_global_descriptor(cfg: Optional[dict]):
         weights_path = cfg.pop("weights_path", None)
         return MegaLocDescriptor(MegaLocOptions(**cfg), weights_path=weights_path)
     raise ValueError(f"Unknown global descriptor: {name!r}")
+
+
+def build_correspondence(cfg: Optional[dict]):
+    """cfg: {name: detdesc|loftr|mast3r|colmap, ...}. Returns None for
+    detdesc (the detector/matcher path) or a direct image-correspondence
+    generator with generate(images, pairs) -> {(i1, i2): (uv1, uv2)} —
+    the reference's correspondence_generator swap (runner.py:202-311,
+    image/mast3r/colmap correspondence generators)."""
+    cfg = dict(cfg or {})
+    name = cfg.pop("name", "detdesc")
+    if name == "detdesc":
+        return None
+    if name == "loftr":
+        from gtsfm_tpu.frontend.correspondence import DenseCorrespondenceGenerator
+        from gtsfm_tpu.frontend.matchers.dense_matcher import (
+            DenseImageMatcher,
+            DenseMatcherOptions,
+        )
+
+        cfg.pop("weights_path", None)  # trained pytrees load via params=
+        matcher = DenseImageMatcher(DenseMatcherOptions(**cfg))
+        return DenseCorrespondenceGenerator(matcher)
+    if name == "mast3r":
+        from gtsfm_tpu.frontend.mast3r import Mast3rCorrespondenceGenerator, MASt3ROptions
+
+        weights_path = cfg.pop("weights_path", None)
+        return Mast3rCorrespondenceGenerator(
+            MASt3ROptions(**cfg), weights_path=weights_path
+        )
+    if name == "colmap":
+        from gtsfm_tpu.frontend.correspondence import ColmapCorrespondenceGenerator
+
+        gen = ColmapCorrespondenceGenerator(
+            cfg.pop("colmap_dir"), binary=cfg.pop("binary", False)
+        )
+
+        class _IgnoreImages:
+            def __init__(self, g):
+                self.g = g
+
+            def generate(self, images, pairs):
+                return self.g.generate(pairs)
+
+        return _IgnoreImages(gen)
+    raise ValueError(f"Unknown correspondence generator: {name!r}")

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host:port of process 0 (enables jax.distributed)")
     p.add_argument("--distributed_num_processes", type=int, default=None)
     p.add_argument("--distributed_process_id", type=int, default=None)
+    p.add_argument("--prewarm", action="store_true",
+                   help="AOT-compile the standard jit shape set before the "
+                        "pipeline (populates the persistent compile cache)")
     p.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
     return p
 
@@ -146,6 +149,10 @@ def main(argv=None) -> int:
     from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if args.prewarm:
+        from gtsfm_tpu.utils.prewarm import prewarm_standard_shapes
+
+        prewarm_standard_shapes()
 
     cfg = load_config(args.config_name, args.overrides)
     so_cfg = cfg.setdefault("scene_optimizer", {})

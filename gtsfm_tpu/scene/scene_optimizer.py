@@ -78,6 +78,9 @@ class SceneOptimizerOptions(NamedTuple):
     # once); bounds peak host memory to O(chunk), parity with the
     # reference's image futures (loader_base.py:363-391)
     load_chunk_size: int = 0
+    # direct-correspondence mode: global keypoints per image after the
+    # dedup aggregation (keypoint_aggregator_dedup.py parity)
+    direct_max_keypoints: int = 2048
 
 
 class SceneOptimizer:
@@ -88,12 +91,19 @@ class SceneOptimizer:
         detector=None,
         matcher=None,
         global_descriptor=None,
+        correspondence=None,
     ):
-        """detector/matcher/global_descriptor follow the registry contracts
-        (frontend/registry.py); None selects the weight-free defaults
-        (DoGSift, fused mutual-NN, tiny color-moment descriptor)."""
+        """detector/matcher/global_descriptor/correspondence follow the
+        registry contracts (frontend/registry.py); None selects the
+        weight-free defaults (DoGSift, fused mutual-NN, tiny color-moment
+        descriptor, det/desc correspondence). A non-None ``correspondence``
+        is a direct image-correspondence generator (LoFTR / MASt3R / COLMAP
+        — the reference's ImageCorrespondenceGenerator role): per-pair
+        correspondences are aggregated into global per-image keypoints
+        (KeypointAggregatorDedup) and verified with precomputed matches."""
         self.options = options
         self.retriever = retriever or SequentialRetriever()
+        self.correspondence = correspondence
         if detector is None:
             from gtsfm_tpu.frontend.registry import _VmappedDetectorAdapter
 
@@ -148,7 +158,16 @@ class SceneOptimizer:
         needs_images_later = opts.run_mvs or opts.run_gs
         images = None
         global_descs = None
-        if opts.load_chunk_size and not needs_images_later:
+        kp_xy = kp_mask = descs = None
+        direct = self.correspondence is not None
+        if direct:
+            # direct image-correspondence mode (MASt3R / LoFTR / COLMAP):
+            # keypoints come from per-pair correspondences, not a detector;
+            # detection happens after retrieval, per retrieved pair
+            images, sizes = loader.load_grayscale_batch()
+            if needs_global_descs:
+                global_descs = self._global_descriptor().describe_batch(images)
+        elif opts.load_chunk_size and not needs_images_later:
             # streaming path: load+detect(+describe) per chunk, free image
             # arrays immediately — peak host memory O(chunk), not O(scene)
             kp_xy, kp_mask, descs, global_descs, sizes = self._load_detect_chunked(
@@ -177,12 +196,33 @@ class SceneOptimizer:
 
         # ---- two-view estimation (batched over pairs) ----------------
         t0 = time.perf_counter()
-        tvr = self._run_two_view(pairs, kp_xy, kp_mask, descs, cal)
+        pair_matches = None
+        if direct:
+            from gtsfm_tpu.frontend.correspondence import (
+                AggregatorOptions,
+                KeypointAggregatorDedup,
+            )
+
+            imgs_list = [
+                np.asarray(images[i][: h, : w]) for i, (h, w) in enumerate(sizes)
+            ]
+            pair_corrs = self.correspondence.generate(imgs_list, pairs)
+            agg = KeypointAggregatorDedup(
+                AggregatorOptions(max_keypoints_per_image=opts.direct_max_keypoints)
+            )
+            kp_xy, kp_mask, pair_matches = agg.aggregate(n, pair_corrs)
+            descs = np.zeros((n, kp_xy.shape[1], 4), np.float32)
+        tvr = self._run_two_view(pairs, kp_xy, kp_mask, descs, cal,
+                                 pair_matches=pair_matches)
 
         # bridge reconnection: if the valid graph split into islands, add
         # the most-similar cross-component pairs and estimate them too
-        sim_matrix = getattr(self.retriever, "latest_similarity_matrix", None)
-        if opts.reconnect_bridges and sim_matrix is None and global_descs is not None:
+        # (skipped in direct mode: new pairs would need new correspondences)
+        if direct:
+            sim_matrix = None
+        else:
+            sim_matrix = getattr(self.retriever, "latest_similarity_matrix", None)
+        if opts.reconnect_bridges and sim_matrix is None and global_descs is not None and not direct:
             from gtsfm_tpu.retriever.retrievers import similarity_matrix as _simmat
 
             sim_matrix = np.asarray(_simmat(jnp.asarray(global_descs)))
@@ -483,15 +523,20 @@ class SceneOptimizer:
         return kp_xy, kp_mask, descs
 
     # ------------------------------------------------------------------
-    def _run_two_view(self, pairs, kp_xy, kp_mask, descs, cal):
+    def _run_two_view(self, pairs, kp_xy, kp_mask, descs, cal, pair_matches=None):
         """Two-view estimation, optionally through the content-addressed
-        disk cacher (two_view_estimator_cacher.py parity)."""
-        if self._two_view_cacher is not None:
+        disk cacher (two_view_estimator_cacher.py parity). Precomputed
+        per-pair matches (direct-correspondence mode) bypass the cacher —
+        its content key covers descriptors, not external match lists."""
+        if self._two_view_cacher is not None and pair_matches is None:
             return self._two_view_cacher.run(pairs, kp_xy, kp_mask, descs, cal)
-        return self._run_two_view_uncached(pairs, kp_xy, kp_mask, descs, cal)
+        return self._run_two_view_uncached(
+            pairs, kp_xy, kp_mask, descs, cal, pair_matches=pair_matches
+        )
 
     # ------------------------------------------------------------------
-    def _run_two_view_uncached(self, pairs, kp_xy, kp_mask, descs, cal):
+    def _run_two_view_uncached(self, pairs, kp_xy, kp_mask, descs, cal,
+                               pair_matches=None):
         """Chunked batched two-view estimation; returns numpy dict. Pair
         chunks shard over the device mesh when one is available."""
         opts = self.options
@@ -534,7 +579,25 @@ class SceneOptimizer:
 
                 batch = shard_pair_batch(mesh, batch)
             matches = {}
-            if self.matcher is not None:
+            if pair_matches is not None:
+                # precomputed per-pair correspondence indices (direct mode):
+                # match_idx[p, k1] = k2 for each aggregated correspondence
+                midx = np.zeros((B, K), np.int32)
+                mmask = np.zeros((B, K), bool)
+                for p, (a, b) in enumerate(chunk):
+                    e = pair_matches.get((int(a), int(b)))
+                    if e is None:
+                        continue
+                    idx1, idx2, keep = e
+                    idx1, idx2 = idx1[keep], idx2[keep]
+                    midx[p, idx1] = idx2
+                    mmask[p, idx1] = True
+                matches = dict(
+                    match_idx=jnp.asarray(midx),
+                    match_mask=jnp.asarray(mmask),
+                    match_score=jnp.asarray(mmask, jnp.float32),
+                )
+            elif self.matcher is not None:
                 midx, mmask, mscore = self.matcher.match_batch(
                     batch["desc1"], batch["desc2"],
                     batch["kp_xy1"], batch["kp_xy2"],

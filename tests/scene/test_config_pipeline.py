@@ -129,3 +129,104 @@ def test_cachers_make_second_run_skip_recompute(tmp_path):
     tvr2 = so2._run_two_view(pairs, kp_xy, kp_mask, descs, cal)
     assert time.perf_counter() - t0 < 1.0
     np.testing.assert_array_equal(tvr1["valid"], tvr2["valid"])
+
+
+def test_mast3r_config_builds_generator():
+    cfg = C.load_config(
+        "mast3r",
+        [
+            "correspondence.enc_dim=32", "correspondence.dec_dim=24",
+            "correspondence.enc_heads=2", "correspondence.dec_heads=2",
+            "correspondence.enc_depth=1", "correspondence.dec_depth=1",
+            "correspondence.local_feat_dim=4", "correspondence.long_edge=64",
+        ],
+    )
+    so = C.build_scene_optimizer(cfg)
+    from gtsfm_tpu.frontend.mast3r import Mast3rCorrespondenceGenerator
+
+    assert isinstance(so.correspondence, Mast3rCorrespondenceGenerator)
+    assert so.options.direct_max_keypoints == 2048
+
+
+@pytest.mark.skipif(not os.path.isdir(DOOR), reason="door data not mounted")
+def test_mast3r_config_runs_end_to_end_shapes():
+    """Random-weight MASt3R direct-correspondence pipeline on 4 Door images:
+    per-pair dense correspondences -> dedup aggregation -> verification ->
+    back-end. Shape/pipeline test; exactness is covered by
+    tests/frontend/test_mast3r_exact.py."""
+    from gtsfm_tpu.loader.olsson import OlssonLoader
+
+    cfg = C.load_config(
+        "mast3r",
+        [
+            "correspondence.enc_dim=32", "correspondence.dec_dim=24",
+            "correspondence.enc_heads=2", "correspondence.dec_heads=2",
+            "correspondence.enc_depth=1", "correspondence.dec_depth=1",
+            "correspondence.local_feat_dim=4", "correspondence.long_edge=96",
+            "correspondence.max_correspondences=128",
+            "scene_optimizer.pair_batch_size=8",
+            "scene_optimizer.direct_max_keypoints=512",
+        ],
+    )
+    so = C.build_scene_optimizer(cfg)
+    loader = OlssonLoader(DOOR, max_resolution=160, max_frames=4)
+    data, groups = so.run(loader)
+    names = [g.name for g in groups]
+    assert "frontend_summary" in names
+    assert data.max_cameras == 4
+
+
+@pytest.mark.skipif(not os.path.isdir(DOOR), reason="door data not mounted")
+def test_loftr_correspondence_config_runs():
+    """LoFTR-class dense matcher through the same direct path."""
+    from gtsfm_tpu.loader.olsson import OlssonLoader
+
+    cfg = C.load_config(
+        "unified",
+        [
+            "correspondence.name=loftr",
+            "correspondence.max_matches=256",
+            "scene_optimizer.pair_batch_size=8",
+            "scene_optimizer.direct_max_keypoints=512",
+        ],
+    )
+    so = C.build_scene_optimizer(cfg)
+    from gtsfm_tpu.frontend.correspondence import DenseCorrespondenceGenerator
+
+    assert isinstance(so.correspondence, DenseCorrespondenceGenerator)
+    loader = OlssonLoader(DOOR, max_resolution=160, max_frames=3)
+    data, groups = so.run(loader)
+    assert data.max_cameras == 3
+
+
+def test_all_named_configs_build():
+    """Every shipped named config composes a SceneOptimizer (the
+    reference's config catalog: sift/skydio/megaloc/colmap/onedsfm/door/
+    cluster/vggt/fastvggt/anysplat...). Reduced dims where a config
+    defaults to a large learned model."""
+    small_megaloc = [
+        "global_descriptor.embed_dim=32", "global_descriptor.depth=1",
+        "global_descriptor.num_heads=2", "global_descriptor.pretrain_grid=5",
+        "global_descriptor.num_clusters=8", "global_descriptor.cluster_dim=16",
+        "global_descriptor.token_dim=16", "global_descriptor.mlp_dim=32",
+        "global_descriptor.feat_dim=64",
+    ]
+    cases = {
+        "unified": [], "sift_front_end": [], "skydio_front_end": [],
+        "onedsfm_front_end": [], "vggt": [], "fastvggt": [], "anysplat": [],
+        "door": [], "cluster": [], "synthetic_front_end": [], "unit_test": [],
+        "deep_front_end": ["matcher.num_layers=2"],
+        "megaloc_sift_frontend": small_megaloc,
+    }
+    for name, ov in cases.items():
+        so = C.build_scene_optimizer(C.load_config(name, ov))
+        assert so is not None, name
+    # configs with required fields still parse
+    cfg = C.load_config("mast3r", ["correspondence.enc_depth=1",
+                                   "correspondence.dec_depth=1",
+                                   "correspondence.enc_dim=32",
+                                   "correspondence.dec_dim=24",
+                                   "correspondence.enc_heads=2",
+                                   "correspondence.dec_heads=2",
+                                   "correspondence.local_feat_dim=4"])
+    assert C.build_scene_optimizer(cfg).correspondence is not None
