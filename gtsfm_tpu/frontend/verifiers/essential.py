@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from gtsfm_tpu.geometry import SE3, so3
-from gtsfm_tpu.utils.numerics import einsum as p_einsum, mm, nullvec_pinned
+from gtsfm_tpu.utils.numerics import (
+    einsum as p_einsum,
+    mm,
+    nullvec_pinned,
+    nullvec_pinned_scalarized,
+)
 
 
 class RansacOptions(NamedTuple):
@@ -282,22 +287,38 @@ def ransac_essential(
     else:
         sw = jnp.maximum(sample_weights, 1e-6) * maskf
 
+    # Two-stage PROSAC sampling: restrict hypothesis draws to a quality-
+    # ranked pool (random tiebreak so uniform weights still spread), then
+    # draw weighted 8-subsets inside it via exponential keys — top-8 of
+    # u^(1/w) draws proportionally to w. The pool bounds the per-
+    # hypothesis uniform tensor at (H, pool) instead of (H, K): at
+    # K=1024 that is 4x fewer random bits and a 4x smaller top_k, and it
+    # matches USAC's progressive quality-ordered sampling more closely.
+    pool = min(K, max(256, 4 * 8))
+    key, k_tie = jax.random.split(key)
+    tie = jax.random.uniform(k_tie, (K,), minval=0.5, maxval=1.0)
+    pool_idx = jax.lax.top_k(jnp.where(mask, sw * tie, -1.0), pool)[1]  # (pool,)
+    sw_pool = sw[pool_idx]
+    mask_pool = mask[pool_idx]
+
     def sample_one(k):
-        # weighted sampling without replacement via exponential keys:
-        # top-8 of u^(1/w) draws proportionally to w (PROSAC-style when w
-        # carries match quality). Benchmarked fastest on TPU vs inverse-CDF
-        # searchsorted and Gumbel-argmax alternatives.
-        u = jax.random.uniform(k, (K,), minval=1e-12, maxval=1.0)
-        keys_w = jnp.where(mask, u ** (1.0 / sw), -1.0)
-        idx = jax.lax.top_k(keys_w, 8)[1]
-        # arithmetic one-hot instead of scatter (scatters in nested vmaps
-        # miscompile on TPU — see bundle/triangulation.py)
-        ar = jnp.arange(K)
-        w = jnp.any(ar[None, :] == idx[:, None], axis=0).astype(x1.dtype) * maskf
-        return w
+        u = jax.random.uniform(k, (pool,), minval=1e-12, maxval=1.0)
+        keys_w = jnp.where(mask_pool, u ** (1.0 / sw_pool), -1.0)
+        return pool_idx[jax.lax.top_k(keys_w, 8)[1]]
 
     keys = jax.random.split(key, opts.num_hypotheses)
-    sample_w = jax.vmap(sample_one)(keys)  # (H, K)
+    sample_idx = jax.vmap(sample_one)(keys)  # i32 (H, 8)
+
+    # hypothesis solves on the 8 GATHERED rows — O(H*8*81) instead of the
+    # one-hot O(H*K*81) full-K masked einsum (128x fewer FLOPs at K=1024)
+    ones = jnp.ones_like(x1[:, :1])
+    p1h = jnp.concatenate([x1, ones], axis=-1)
+    p2h = jnp.concatenate([x2, ones], axis=-1)
+    A_rows = (p2h[:, :, None] * p1h[:, None, :]).reshape(K, 9)
+    A_rows = A_rows / jnp.maximum(jnp.linalg.norm(A_rows, axis=-1, keepdims=True), 1e-12)
+    A8 = A_rows[sample_idx] * maskf[sample_idx][..., None]  # (H, 8, 9)
+    AtA_h = jnp.einsum("hkr,hks->hrs", A8, A8)  # (H, 9, 9)
+    E_hyps = nullvec_pinned_scalarized(AtA_h).reshape(-1, 3, 3)
 
     # preemptive scoring subset (deterministic spread over the valid set)
     if 0 < opts.score_subset < K:
@@ -310,19 +331,18 @@ def ransac_essential(
     else:
         xs1, xs2, ms = x1, x2, mask
 
-    def score(w):
-        E = _eight_point_fast(x1, x2, w)
+    def score(E):
         err = _sampson_error(E, xs1, xs2)
         if opts.scoring == "lmeds":
             # least median of squares: negate so argmax selects the minimum
             med = jnp.median(jnp.where(ms, err, jnp.inf))
-            return -med, E
+            return -med
         inl = ms & (err < thresh2)
-        return jnp.sum(inl).astype(x1.dtype), E
+        return jnp.sum(inl).astype(x1.dtype)
 
-    votes, Es = jax.vmap(score)(sample_w)
+    votes = jax.vmap(score)(E_hyps)
     best = jnp.argmax(votes)
-    E_best = Es[best]
+    E_best = E_hyps[best]
 
     # local optimization: annealed-threshold refits (LO-RANSAC style —
     # gather with a wide band first, tighten each round)
@@ -357,13 +377,17 @@ def ransac_essential(
     R0, t0 = recover_pose_from_essential(E_final, x1, x2, inliers.astype(x1.dtype))
     if opts.polish_iterations > 0:
         thresh = jnp.sqrt(thresh2)
-        R0, t0 = _refine_essential(
-            x1, x2, inliers.astype(x1.dtype), R0, t0,
-            opts.polish_iterations, opts.polish_huber, thresh,
-        )
-        E_final = mm(so3.hat(t0), R0)
-        err = _sampson_error(E_final, x1, x2)
-        inliers = mask & (err < thresh2)
+        # two polish rounds with an inlier-set refresh in between: the
+        # first GN pass can shake loose a few band-edge outliers, and the
+        # second pass then fits the cleaned consensus
+        for _ in range(2):
+            R0, t0 = _refine_essential(
+                x1, x2, inliers.astype(x1.dtype), R0, t0,
+                opts.polish_iterations, opts.polish_huber, thresh,
+            )
+            E_final = mm(so3.hat(t0), R0)
+            err = _sampson_error(E_final, x1, x2)
+            inliers = mask & (err < thresh2)
         R0, t0 = recover_pose_from_essential(E_final, x1, x2, inliers.astype(x1.dtype))
     num_inliers = jnp.sum(inliers)
     R, t = R0, t0

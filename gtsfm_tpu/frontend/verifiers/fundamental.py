@@ -180,6 +180,23 @@ def _degensac_recover(x1n, x2n, mask, F, thresh2, key, h_ratio, h_hypotheses,
 
     votes, Hs = jax.vmap(score_h)(sample_w)
     H = Hs[jnp.argmax(votes)]
+
+    # LO the homography on its consensus: a raw 4-point H is noisy, and the
+    # parallax lines p2 x Hp1 inherit that noise directly — the epipole
+    # vote needs a tight plane fit
+    def h_refit(H_c, _):
+        e_c = _h_transfer_err(H_c, x1n, x2n)
+        w_c = jnp.where(
+            f_inl, jnp.maximum(0.0, 1.0 - e_c / thresh2), 0.0
+        ).astype(x1n.dtype)
+        AtA = _h_normal_matrix(x1n, x2n, w_c)
+        _, vecs = jnp.linalg.eigh(AtA)
+        H_new = vecs[:, 0].reshape(3, 3)
+        n_new = jnp.sum(f_inl & (_h_transfer_err(H_new, x1n, x2n) < thresh2))
+        n_old = jnp.sum(f_inl & (e_c < thresh2))
+        return jnp.where(n_new >= n_old, H_new, H_c), None
+
+    H, _ = jax.lax.scan(h_refit, H, jnp.arange(3))
     h_err = _h_transfer_err(H, x1n, x2n)
     n_f = jnp.maximum(jnp.sum(f_inl), 1)
     degenerate = (jnp.sum(f_inl & (h_err < thresh2)) / n_f) >= h_ratio
@@ -212,21 +229,73 @@ def _degensac_recover(x1n, x2n, mask, F, thresh2, key, h_ratio, h_hypotheses,
         nrm = jnp.linalg.norm(F_c)
         F_c = F_c / jnp.maximum(nrm, 1e-12)
         ok = nrm > 1e-9  # parallel lines / repeated point => no epipole
-        n_inl = jnp.sum(mask & (_sampson_f(F_c, x1n, x2n) < thresh2))
-        return jnp.where(ok, n_inl, -1), F_c
+        # MSAC-score over OFF-plane candidates only. Every H-consistent
+        # point satisfies ANY F of the form [e']_x H (p2 ~ Hp1 =>
+        # p2.(e' x p2) = 0), so plane inliers are uninformative padding;
+        # and the truncated-residual score separates a true epipole (all
+        # off-plane points fit tightly) from an outlier-anchored one whose
+        # extra "inliers" graze the threshold band.
+        err_c = _sampson_f(F_c, x1n, x2n)
+        msac = jnp.sum(jnp.where(off, jnp.maximum(0.0, 1.0 - err_c / thresh2), 0.0))
+        return jnp.where(ok, msac, -1.0), F_c
 
-    pp_keys = jax.random.split(jax.random.fold_in(key, 1), h_hypotheses)
+    # 4x the H budget: a candidate needs BOTH sampled anchors off-plane,
+    # and off-plane points can be a small minority of the off set
+    pp_keys = jax.random.split(jax.random.fold_in(key, 1), 4 * h_hypotheses)
     pp_votes, pp_Fs = jax.vmap(score_pair)(pp_keys)
-    best_pp = jnp.argmax(pp_votes)
-    F_pp = pp_Fs[best_pp]
-    F_pp, _ = jax.lax.scan(lo_round, F_pp, lo_mults)
 
-    n_pp = jnp.sum(mask & (_sampson_f(F_pp, x1n, x2n) < thresh2))
+    # Constrained LO: refit ONLY the epipole over the off-plane inliers of
+    # the winning candidate (every off-plane inlier line passes through e',
+    # so e' = smallest eigenvector of the weighted sum of l l^T — closed
+    # form). A full-F refit here would be plane-dominated and collapse back
+    # to the degenerate solution the recovery just escaped.
+    def off_msac(F_c):
+        err_c = _sampson_f(F_c, x1n, x2n)
+        return jnp.sum(jnp.where(off, jnp.maximum(0.0, 1.0 - err_c / thresh2), 0.0))
+
+    def refit_epipole(F_c, _):
+        err_c = _sampson_f(F_c, x1n, x2n)
+        w_l = jnp.where(off, jnp.maximum(0.0, 1.0 - err_c / thresh2), 0.0)
+        L = p_einsum("ki,kj->ij", lines * w_l[:, None], lines)
+        _, vecs = jnp.linalg.eigh(L)
+        e2 = vecs[:, 0]
+        ex = jnp.array(
+            [[0.0, -e2[2], e2[1]], [e2[2], 0.0, -e2[0]], [-e2[1], e2[0], 0.0]],
+            x1n.dtype,
+        )
+        F_new = mm(ex, H)
+        F_new = F_new / jnp.maximum(jnp.linalg.norm(F_new), 1e-12)
+        better = (off_msac(F_new) >= off_msac(F_c)) & (jnp.sum(w_l > 0) >= 2)
+        return jnp.where(better, F_new, F_c), None
+
+    # polish the top-8 candidates before the final pick: a correct but
+    # noisy anchor pair often scores below an outlier-anchored candidate
+    # until its epipole is refit over its full off-plane consensus
+    _, top8 = jax.lax.top_k(pp_votes, 8)
+    F_top = pp_Fs[top8]
+
+    def polish(F_c):
+        F_c, _ = jax.lax.scan(refit_epipole, F_c, jnp.arange(2))
+        return off_msac(F_c), F_c
+
+    top_scores, F_polished = jax.vmap(polish)(F_top)
+    F_pp = F_polished[jnp.argmax(top_scores)]
+    F_pp, _ = jax.lax.scan(refit_epipole, F_pp, jnp.arange(1))
+
+    # accept by truncated-residual quality over ALL correspondences, not
+    # raw inlier count: a plane-fooled F that grabbed a few outliers can
+    # TIE the true F's count (plane + k noise points vs plane + k true
+    # off-plane), but the true F fits its non-plane inliers tightly while
+    # the fooled F's extras graze the threshold band
+    def full_msac(F_c):
+        err_c = _sampson_f(F_c, x1n, x2n)
+        return jnp.sum(jnp.where(mask, jnp.maximum(0.0, 1.0 - err_c / thresh2), 0.0))
+
     use_pp = (
         degenerate
-        & (pp_votes[best_pp] > 0)
+        & (jnp.max(top_scores) > 0)
         & (jnp.sum(off) >= 2)
-        & (n_pp > jnp.sum(f_inl))
+        & (full_msac(F_pp) > full_msac(F))
         & jnp.all(jnp.isfinite(F_pp))
     )
     return jnp.where(use_pp, F_pp, F)
