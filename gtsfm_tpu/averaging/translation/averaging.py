@@ -88,8 +88,10 @@ def _native_mfas():
     import ctypes
     import os
 
-    so = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libmfas.so")
-    if os.path.exists(so):
+    from gtsfm_tpu.native.build import ensure_built
+
+    so = ensure_built("libmfas.so")
+    if so is not None:
         lib = ctypes.CDLL(so)
         lib.mfas_order.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),

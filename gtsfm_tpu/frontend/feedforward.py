@@ -35,6 +35,8 @@ class FeedforwardOptions(NamedTuple):
     # tokens, turning the O((BT)^2) global step into O(BT * BT/s). 1 = the
     # full VGGT-class global attention.
     global_kv_stride: int = 1
+    # tracking-head feature width (vggt.py tracking head parity)
+    track_dim: int = 64
 
 
 class _MHA(nn.Module):
@@ -161,7 +163,12 @@ class FeedforwardNet(nn.Module):
         depth_out = nn.Dense(P * P, name="depth_head")(patch_feat)  # (B, hp*wp, P*P)
         depth = depth_out.reshape(B, hp, wp, P, P).transpose(0, 1, 3, 2, 4).reshape(B, H, W)
         conf = nn.Dense(1, name="conf_head")(patch_feat)[..., 0].reshape(B, hp, wp)
-        return pose_out, jnp.exp(depth), jax.nn.sigmoid(conf)
+        # tracking head: per-patch unit features for cross-frame correlation
+        # (the role of the reference's vggt tracking head, vggt.py:1009)
+        tfeat = nn.Dense(o.track_dim, name="track_head")(patch_feat)
+        tfeat = tfeat / jnp.maximum(jnp.linalg.norm(tfeat, axis=-1, keepdims=True), 1e-12)
+        track_feat = tfeat.reshape(B, hp, wp, o.track_dim)
+        return pose_out, jnp.exp(depth), jax.nn.sigmoid(conf), track_feat
 
 
 class FeedforwardReconstruction:
@@ -184,11 +191,12 @@ class FeedforwardReconstruction:
     def run(self, images: jnp.ndarray):
         from gtsfm_tpu.geometry import SE3, so3
 
-        pose_out, depth, conf = self._fwd(self.params, images)
+        pose_out, depth, conf, track_feat = self._fwd(self.params, images)
         R = so3.expmap(pose_out[:, :3])
         t = pose_out[:, 3:6]
         poses = SE3(R=R, t=t)
         focal_ratio = jax.nn.softplus(pose_out[:, 6]) + 0.5
+        self.last_track_feat = track_feat
         return poses, depth, conf, focal_ratio
 
 
@@ -227,4 +235,160 @@ def feedforward_to_sfm_data(
                 break
         if len(tracks) >= max_tracks:
             break
+    return SfmData.from_cameras_and_tracks(poses, cal, tracks, num_cameras=B)
+
+
+# ---------------------------------------------------------------------------
+# VGGT tracking head, frame ranking, BA-coverage track selection
+# (parity: /root/reference/gtsfm/frontend/vggt.py — run_vggt_tracking :1177 /
+# _run_vggt_head_tracking :1009, DINO frame ranking :934, BA-coverage track
+# selection :387)
+# ---------------------------------------------------------------------------
+
+
+def rank_frames(track_feat: jnp.ndarray) -> jnp.ndarray:
+    """Score each frame by its mean feature similarity to all other frames
+    (the role of the reference's DINO-based frame ranking, vggt.py:934):
+    the most 'central' frame is the best tracking query source.
+
+    track_feat: (B, hp, wp, D) unit features -> scores (B,)."""
+    B = track_feat.shape[0]
+    mean_tok = jnp.mean(track_feat.reshape(B, -1, track_feat.shape[-1]), axis=1)
+    mean_tok = mean_tok / jnp.maximum(
+        jnp.linalg.norm(mean_tok, axis=-1, keepdims=True), 1e-12
+    )
+    sim = mean_tok @ mean_tok.T  # (B, B)
+    return (jnp.sum(sim, axis=1) - 1.0) / jnp.maximum(B - 1, 1)
+
+
+@jax.jit
+def track_queries(track_feat: jnp.ndarray, query_feat: jnp.ndarray):
+    """Correlation tracking of query features across all frames (the
+    tracking-head role of _run_vggt_head_tracking, vggt.py:1009): per frame,
+    the peak of the correlation map localizes each query, a 3x3 soft-argmax
+    refines it to sub-patch precision, and the peak value is visibility.
+
+    track_feat: (B, hp, wp, D) unit features; query_feat: (Q, D).
+    Returns (xy (B, Q, 2) in PATCH coords, vis (B, Q) peak correlation)."""
+    B, hp, wp, D = track_feat.shape
+    corr = jnp.einsum("qd,bhwd->bqhw", query_feat, track_feat)  # (B, Q, hp, wp)
+    flat = corr.reshape(B, -1, hp * wp)
+    idx = jnp.argmax(flat, axis=-1)  # (B, Q)
+    vis = jnp.max(flat, axis=-1)
+    cy = idx // wp
+    cx = idx % wp
+    # 3x3 soft-argmax refinement around the peak (clamped at borders)
+    offs = jnp.arange(-1, 2)
+    ys = jnp.clip(cy[..., None] + offs, 0, hp - 1)  # (B, Q, 3)
+    xs = jnp.clip(cx[..., None] + offs, 0, wp - 1)
+    patch = corr[
+        jnp.arange(B)[:, None, None, None],
+        jnp.arange(corr.shape[1])[None, :, None, None],
+        ys[..., :, None],
+        xs[..., None, :],
+    ]  # (B, Q, 3, 3)
+    w = jax.nn.softmax(patch.reshape(B, -1, 9) * 10.0, axis=-1).reshape(B, -1, 3, 3)
+    ref_y = jnp.sum(w * ys[..., :, None], axis=(-2, -1))
+    ref_x = jnp.sum(w * xs[..., None, :], axis=(-2, -1))
+    return jnp.stack([ref_x, ref_y], axis=-1), vis
+
+
+def select_tracks_for_ba(
+    vis: np.ndarray, valid: np.ndarray, per_camera: int = 12
+) -> np.ndarray:
+    """Greedy BA-coverage selection (vggt.py:387): pick tracks until every
+    camera is observed by >= per_camera selected tracks (or the pool is
+    exhausted), preferring tracks that cover the least-covered cameras.
+
+    vis: (Q, B) visibility scores; valid: (Q, B) bool. Returns bool (Q,)."""
+    Q, B = vis.shape
+    coverage = np.zeros(B, np.int64)
+    chosen = np.zeros(Q, bool)
+    # order candidates by total quality, best first
+    order = np.argsort(-(vis * valid).sum(axis=1))
+    for q in order:
+        need = valid[q] & (coverage < per_camera)
+        if need.any():
+            chosen[q] = True
+            coverage += valid[q]
+        if (coverage >= per_camera).all():
+            break
+    return chosen
+
+
+def feedforward_tracks_to_sfm_data(
+    poses,
+    depth: np.ndarray,
+    conf: np.ndarray,
+    cal,
+    track_feat,
+    conf_threshold: float = 0.5,
+    vis_threshold: float = 0.6,
+    max_queries: int = 512,
+    per_camera: int = 12,
+    patch_size: int = 16,
+):
+    """Multi-view track construction from the tracking head (replaces the
+    depth-only self-track fallback): rank frames, query confident patches
+    of the best frame, track them across all frames, keep >= 2-view tracks,
+    coverage-select for BA, and anchor each 3D point by unprojecting the
+    reference-frame depth. Parity: run_vggt_tracking -> BA track pipeline
+    (vggt.py:1177, :387)."""
+    import jax
+
+    from gtsfm_tpu.common.sfm_data import SfmData
+    from gtsfm_tpu.geometry import PinholeCamera
+
+    B, H, W = depth.shape
+    tf = jnp.asarray(track_feat)
+    _, hp, wp, _ = tf.shape
+    ref = int(np.argmax(np.asarray(rank_frames(tf))))
+
+    # queries: confident patches of the reference frame, best-first
+    cgrid = np.asarray(conf[ref])[:hp, :wp]
+    flat_conf = cgrid.reshape(-1)
+    good = np.nonzero(flat_conf >= conf_threshold)[0]
+    if len(good) == 0:
+        good = np.argsort(-flat_conf)[: min(max_queries, flat_conf.size)]
+    good = good[np.argsort(-flat_conf[good])][:max_queries]
+    qy, qx = good // wp, good % wp
+    qfeat = tf[ref, qy, qx]  # (Q, D)
+
+    xy, vis = track_queries(tf, qfeat)  # (B, Q, 2) patch coords, (B, Q)
+    xy = np.asarray(xy)
+    vis = np.asarray(vis)
+    Q = len(good)
+
+    valid = vis.T >= vis_threshold  # (Q, B)
+    # the reference frame observes its own queries by construction
+    valid[:, ref] = True
+    multi = valid.sum(axis=1) >= 2
+    chosen = select_tracks_for_ba(vis.T * multi[:, None], valid & multi[:, None],
+                                  per_camera=per_camera)
+
+    s = patch_size
+    tracks = []
+    cam_ref = PinholeCamera(
+        pose=jax.tree.map(lambda a: a[ref], poses),
+        cal=jax.tree.map(lambda a: a[ref], cal),
+    )
+    for qi in np.nonzero(chosen)[0]:
+        uv_ref = np.array([(qx[qi] + 0.5) * s, (qy[qi] + 0.5) * s], np.float32)
+        iy, ix = min(int(uv_ref[1]), H - 1), min(int(uv_ref[0]), W - 1)
+        X = np.asarray(
+            cam_ref.backproject(jnp.asarray(uv_ref), jnp.asarray(depth[ref, iy, ix]))
+        )
+        obs = []
+        for b in range(B):
+            if not valid[qi, b]:
+                continue
+            uv = (xy[b, qi] + 0.5) * s
+            if b == ref:
+                uv = uv_ref
+            if 0 <= uv[0] < W and 0 <= uv[1] < H:
+                obs.append((b, uv.astype(np.float32)))
+        if len(obs) >= 2:
+            tracks.append((X, obs))
+    if not tracks:
+        return None
     return SfmData.from_cameras_and_tracks(poses, cal, tracks, num_cameras=B)

@@ -104,7 +104,11 @@ def _load_metis():
         import ctypes
         import os
 
-        so = os.path.join(os.path.dirname(__file__), "..", "native", "libmetis_lite.so")
+        from gtsfm_tpu.native.build import ensure_built
+
+        so = ensure_built("libmetis_lite.so")
+        if so is None:
+            raise OSError("libmetis_lite.so missing and no C++ toolchain to build it")
         lib = ctypes.CDLL(so)
         lib.metis_bisect.argtypes = [
             ctypes.POINTER(ctypes.c_int64),

@@ -34,6 +34,11 @@ class ClusterFeedforwardOptions(NamedTuple):
     run_post_ba: bool = True
     ba: BAOptions = BAOptions(max_iterations=10)
     conf_threshold: float = 0.5
+    # multi-view tracks via the tracking head (run_vggt_tracking parity);
+    # falls back to depth self-tracks when tracking yields too few
+    use_tracking: bool = True
+    tracks_per_camera: int = 12
+    track_vis_threshold: float = 0.6
 
 
 _MODEL_CACHE: dict = {}
@@ -83,10 +88,26 @@ class ClusterFeedforward:
             hp_c = max(1, (H + P - 1) // P)
             wp_c = max(1, (W + P - 1) // P)
             conf = conf[:, :hp_c, :wp_c]
-        data = feedforward_to_sfm_data(
-            poses, np.asarray(depth), np.asarray(conf), cal,
-            conf_threshold=opts.conf_threshold,
-        )
+        data = None
+        if opts.use_tracking:
+            from gtsfm_tpu.frontend.feedforward import feedforward_tracks_to_sfm_data
+
+            track_feat = np.asarray(model.last_track_feat)
+            hp_c = max(1, (H + P - 1) // P)
+            wp_c = max(1, (W + P - 1) // P)
+            data = feedforward_tracks_to_sfm_data(
+                poses, np.asarray(depth), np.asarray(conf), cal,
+                track_feat[:, :hp_c, :wp_c],
+                conf_threshold=opts.conf_threshold,
+                vis_threshold=opts.track_vis_threshold,
+                per_camera=opts.tracks_per_camera,
+                patch_size=P,
+            )
+        if data is None or data.number_tracks() < 8:
+            data = feedforward_to_sfm_data(
+                poses, np.asarray(depth), np.asarray(conf), cal,
+                conf_threshold=opts.conf_threshold,
+            )
         metrics = {"num_tracks_ff": data.number_tracks()}
         if opts.run_post_ba and data.number_tracks() > 4:
             ba = BundleAdjustment(opts.ba)

@@ -28,8 +28,10 @@ def _native_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    so = os.path.join(os.path.dirname(__file__), "..", "native", "libdsf.so")
-    if os.path.exists(so):
+    from gtsfm_tpu.native.build import ensure_built
+
+    so = ensure_built("libdsf.so")
+    if so is not None:
         lib = ctypes.CDLL(so)
         lib.dsf_union_find.argtypes = [
             ctypes.POINTER(ctypes.c_int64),

@@ -81,6 +81,7 @@ def test_fast_global_attention_token_counts():
     net = FeedforwardNet(opts)
     imgs = jnp.asarray(np.random.default_rng(2).uniform(size=(3, 48, 64)), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), imgs)["params"]
-    pose, depth, conf = net.apply({"params": params}, imgs)
+    pose, depth, conf, track_feat = net.apply({"params": params}, imgs)
+    assert track_feat.shape == (3, 3, 4, opts.track_dim)
     assert pose.shape == (3, 7) and depth.shape == (3, 48, 64)
     assert np.isfinite(np.asarray(pose)).all() and np.isfinite(np.asarray(depth)).all()
