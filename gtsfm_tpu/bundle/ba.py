@@ -60,6 +60,20 @@ class BAOptions(NamedTuple):
     # absolute pose priors: soft SE3 priors with scalar weight (parity:
     # pose priors, bundle_adjustment.py:218-254)
     pose_prior_weight: float = 0.0
+    # soft prior pulling optimized intrinsics toward their initial values
+    # (parity: calibration priors, bundle_adjustment.py:256-295)
+    cal_prior_weight: float = 0.0
+    # anchor the best-constrained 3D point at its initial value to pin the
+    # scale gauge (parity: first-point scale prior, bundle_adjustment.py:
+    # 317-320)
+    first_point_prior_weight: float = 0.0
+    # gauge handling: "fixed" = freeze fixed_cam cameras; "karcher" = a
+    # residual anchoring the MEAN rotation of the free cameras at its
+    # initial value (parity: GTSAM KarcherMeanFactor gauge,
+    # bundle_adjustment.py:218-254); translation/scale gauge comes from
+    # pose / first-point priors as in the reference
+    gauge: str = "fixed"
+    karcher_weight: float = 1e4
     init_lambda: float = 1e-4
     min_lambda: float = 1e-10
     max_lambda: float = 1e8
@@ -279,7 +293,8 @@ def _prior_cost(prob: BAProblem) -> jnp.ndarray:
 
 
 def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam, lam, cg_iters,
-                 prior_terms=None, shared_cal_dims: int = 0):
+                 prior_terms=None, shared_cal_dims: int = 0, point_prior=None,
+                 karcher=None):
     """Solve the damped normal equations via Schur + PCG.
 
     Returns (delta_c [N, d], delta_p [T, 3]).
@@ -324,13 +339,35 @@ def _schur_solve(J_c, J_p, r, w, meas_cam, meas_track, n_cam, n_track, fixed_cam
     # Marquardt damping: lam * (diag + eps*I) keeps fixed/empty blocks SPD
     Hcc_d = Hcc + lam * (jnp.abs(Hcc) * eye_d) + (lam + 1e-8) * eye_d
     Hpp_d = Hpp + lam * (jnp.abs(Hpp) * eye_3) + (lam + 1e-8) * eye_3
+    if point_prior is not None:
+        # scale-gauge anchor on one well-constrained point
+        pp_idx, pp_w2, pp_res = point_prior
+        Hpp_d = Hpp_d.at[pp_idx].add(pp_w2 * eye_3)
+        g_p = g_p.at[pp_idx].add(pp_res)
     Hpp_inv = jnp.linalg.inv(Hpp_d)
 
     # per-measurement W block: W_m = Jc_m^T Jp_m (d, 3)
     W = p_einsum("mri,mrj->mij", Jc, Jp)
 
+    # Karcher gauge residual r = w * mean_i log(R_i R0_i^T) over the free
+    # cameras (KarcherMeanFactor parity): rank-3 PSD coupling in the
+    # operator (one broadcast per matvec) + its gradient on the RHS
+    freeN_g = (~fixed_cam).astype(Jc.dtype)[:, None]
+    n_free_g = jnp.maximum(jnp.sum(freeN_g), 1.0)
+    if karcher is not None:
+        # right-retraction: d log(R_i Exp(w) R0_i^T)/dw = R0_i, so the
+        # per-camera Jacobian of the mean-rotation residual is R0_i / N
+        k_w2, mean_dev, R0g = karcher
+        g_kar = p_einsum("nji,j->ni", R0g, mean_dev)  # R0^T dev per camera
+        g_c = g_c.at[:, :3].add((k_w2 / n_free_g) * g_kar * freeN_g)
+
     def S_matvec(x):  # x: [N, d]
         y1 = p_einsum("nij,nj->ni", Hcc_d, x)
+        if karcher is not None:
+            rx = p_einsum("nij,nj->ni", R0g, x[:, :3]) * freeN_g
+            mean3 = jnp.sum(rx, axis=0) / n_free_g
+            back = p_einsum("nji,j->ni", R0g, mean3)
+            y1 = y1.at[:, :3].add((k_w2 / n_free_g) * back * freeN_g)
         u = p_einsum("mij,mi->mj", W, x[meas_cam])  # (M, 3) = W^T x
         s = jax.ops.segment_sum(u, meas_track, num_segments=n_track)
         v = p_einsum("tij,tj->ti", Hpp_inv, s)
@@ -447,7 +484,7 @@ def _apply_step(prob: BAProblem, delta_c, delta_p, opts: "BAOptions") -> BAProbl
     return prob.replace(poses=new_poses, cal_params=new_cal, points=prob.points + delta_p)
 
 
-def _cost(prob: BAProblem, opts: BAOptions) -> jnp.ndarray:
+def _cost(prob: BAProblem, opts: BAOptions, extras=None) -> jnp.ndarray:
     r, depth = _residuals(prob)
     nrm = jnp.linalg.norm(r, axis=-1)
     base = prob.meas_w * (depth > 1e-6)
@@ -461,7 +498,24 @@ def _cost(prob: BAProblem, opts: BAOptions) -> jnp.ndarray:
         rho = jnp.where(nrm <= k, quad, lin)
     else:
         rho = 0.5 * nrm**2
-    return jnp.sum(base * rho) / (opts.measurement_sigma_px**2) + _prior_cost(prob)
+    c = jnp.sum(base * rho) / (opts.measurement_sigma_px**2) + _prior_cost(prob)
+    if extras is not None:
+        calp0, aidx, aval, R0 = extras
+        if opts.cal_prior_weight > 0 and opts.optimize_intrinsics:
+            c = c + 0.5 * opts.cal_prior_weight**2 * jnp.sum(
+                (prob.cal_params - calp0) ** 2
+            )
+        if opts.first_point_prior_weight > 0:
+            c = c + 0.5 * opts.first_point_prior_weight**2 * jnp.sum(
+                (prob.points[aidx] - aval) ** 2
+            )
+        if opts.gauge == "karcher":
+            from gtsfm_tpu.geometry import so3 as _so3
+
+            dev = _so3.logmap(jnp.einsum("nij,nkj->nik", prob.poses.R, R0))
+            mean_dev = jnp.mean(dev, axis=0)
+            c = c + 0.5 * opts.karcher_weight**2 * jnp.sum(mean_dev**2)
+    return c
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -469,13 +523,41 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
     n_cam = prob.fixed_cam.shape[0]
     n_track = prob.points.shape[0]
 
+    # gauge / regularization anchors, captured at the start of the solve
+    calp0 = prob.cal.to_params()
+    w_per_track = jax.ops.segment_sum(prob.meas_w, prob.meas_track, num_segments=n_track)
+    anchor_idx = jnp.argmax(w_per_track)  # best-constrained point
+    anchor_val = prob.points[anchor_idx]
+    R0 = prob.poses.R  # Karcher anchor: rotations at solve start
+    extras = (calp0, anchor_idx, anchor_val, R0)
+
+    def _karcher_dev(poses):
+        from gtsfm_tpu.geometry import so3 as _so3
+
+        dev = _so3.logmap(jnp.einsum("nij,nkj->nik", poses.R, R0))
+        freeN = (~prob.fixed_cam).astype(dev.dtype)[:, None]
+        return jnp.sum(dev * freeN, axis=0) / jnp.maximum(jnp.sum(freeN), 1.0)
+
     def step(carry, it):
         prob, lam, cost = carry
         mu = jnp.maximum(opts.gnc_mu_init * opts.gnc_gamma**it, 1.0)
         r, depth = _residuals(prob)
         w = _robust_weights(r, depth, prob.meas_w, opts, mu)
         J_c, J_p = _jacobians(prob, opts.optimize_intrinsics)
-        prior_terms = _pose_prior_terms(prob, J_c.shape[-1])
+        d = J_c.shape[-1]
+        prior_terms = _pose_prior_terms(prob, d)
+        if opts.cal_prior_weight > 0 and opts.optimize_intrinsics:
+            H_prior, g_prior, rel = prior_terms
+            w2 = opts.cal_prior_weight**2
+            cal_eye = jnp.zeros((d, d)).at[jnp.arange(6, d), jnp.arange(6, d)].set(w2)
+            g_prior = g_prior.at[:, 6:].add(w2 * (prob.cal_params - calp0))
+            prior_terms = (H_prior + cal_eye[None], g_prior, rel)
+        point_prior = None
+        if opts.first_point_prior_weight > 0:
+            w2p = opts.first_point_prior_weight**2
+            point_prior = (
+                anchor_idx, w2p, w2p * (prob.points[anchor_idx] - anchor_val)
+            )
         shared_dc = (
             prob.cal_params.shape[-1]
             if (opts.optimize_intrinsics and opts.shared_intrinsics)
@@ -485,9 +567,14 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
             J_c, J_p, r, w, prob.meas_cam, prob.meas_track,
             n_cam, n_track, prob.fixed_cam, lam, opts.cg_iterations,
             prior_terms=prior_terms, shared_cal_dims=shared_dc,
+            point_prior=point_prior,
+            karcher=(
+                (opts.karcher_weight**2, _karcher_dev(prob.poses), R0)
+                if opts.gauge == "karcher" else None
+            ),
         )
         cand = _apply_step(prob, delta_c, delta_p, opts)
-        new_cost = _cost(cand, opts)
+        new_cost = _cost(cand, opts, extras)
         accept = new_cost < cost
         prob_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), prob, cand)
         lam_next = jnp.clip(
@@ -497,7 +584,7 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
         cost_next = jnp.where(accept, new_cost, cost)
         return (prob_next, lam_next, cost_next), cost_next
 
-    cost0 = _cost(prob, opts)
+    cost0 = _cost(prob, opts, extras)
     (prob_f, _, cost_f), cost_hist = jax.lax.scan(
         step, (prob, jnp.asarray(opts.init_lambda, jnp.float32), cost0),
         jnp.arange(opts.max_iterations),

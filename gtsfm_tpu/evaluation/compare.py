@@ -70,3 +70,36 @@ def compare_colmap_dirs(est_dir: str, ref_dir: str) -> MetricsGroup:
     return compare_reconstructions(
         colmap_io.read_scene(est_dir), colmap_io.read_scene(ref_dir)
     )
+
+
+def compare_colmap_dirs_by_cluster(est_root: str, ref_dir: str) -> list:
+    """Per-cluster comparison: every COLMAP export found under est_root
+    (cluster_*/ or any subdirectory containing cameras.txt, plus est_root
+    itself) is aligned to the reference reconstruction independently, so
+    each cluster's quality is visible before/without merging.
+
+    Parity: /root/reference/gtsfm/evaluation/compare_colmap_outputs_by_
+    cluster.py (918 LoC: walks cluster outputs, robust-aligns each to GT,
+    reports per-camera rotation/translation errors per cluster).
+
+    Returns a list of MetricsGroup, one per discovered cluster, each named
+    ``reconstruction_comparison__<cluster>``."""
+    import os
+
+    ref = colmap_io.read_scene(ref_dir)
+    groups = []
+    candidates = []
+    if os.path.exists(os.path.join(est_root, "cameras.txt")):
+        candidates.append(("root", est_root))
+    for name in sorted(os.listdir(est_root)):
+        sub = os.path.join(est_root, name)
+        if os.path.isdir(sub):
+            for inner in (sub, os.path.join(sub, "ba_output")):
+                if os.path.exists(os.path.join(inner, "cameras.txt")):
+                    candidates.append((name, inner))
+                    break
+    for name, path in candidates:
+        g = compare_reconstructions(colmap_io.read_scene(path), ref)
+        g.name = f"reconstruction_comparison__{name}"
+        groups.append(g)
+    return groups

@@ -153,3 +153,47 @@ def translation_direction_errors_deg(wti_est, wti_gt, wRi_gt, pairs) -> np.ndarr
     num = np.abs(np.sum(d_est * d_gt, axis=-1))
     den = np.linalg.norm(d_est, axis=-1) * np.linalg.norm(d_gt, axis=-1)
     return np.degrees(np.arccos(np.clip(num / np.maximum(den, 1e-12), -1.0, 1.0)))
+
+
+def intrinsics_error_metrics(est_cal, gt_cal, valid_mask=None) -> "MetricsGroup":
+    """Per-camera intrinsics errors vs GT: focal absolute/percentage error
+    and radial distortion k1/k2 absolute errors when the model carries them.
+
+    Parity: /root/reference/gtsfm/utils/metrics.py:523-578
+    (compute_intrinsics_metrics)."""
+    fx_est = np.atleast_1d(np.asarray(est_cal.fx, np.float64))
+    fx_gt = np.atleast_1d(np.asarray(gt_cal.fx, np.float64))
+    if valid_mask is None:
+        valid_mask = np.ones(fx_est.shape[0], bool)
+    m = np.asarray(valid_mask)
+    abs_err = np.abs(fx_est - fx_gt)[m]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = np.where(fx_gt > 0, np.abs(fx_est - fx_gt) / np.maximum(fx_gt, 1e-12) * 100.0, np.nan)[m]
+    g = MetricsGroup(
+        "intrinsics_metrics",
+        [Metric("focal_length_error_px", abs_err),
+         Metric("focal_length_error_pct", pct[np.isfinite(pct)])],
+    )
+    for k in ("k1", "k2"):
+        if hasattr(est_cal, k) and hasattr(gt_cal, k):
+            e = np.abs(np.atleast_1d(np.asarray(getattr(est_cal, k), np.float64))
+                       - np.atleast_1d(np.asarray(getattr(gt_cal, k), np.float64)))[m]
+            g.add(Metric(f"{k}_error", e))
+    return g
+
+
+def precision_recall_from_errors(
+    positive_errors, negative_errors, max_positive_error: float
+) -> tuple:
+    """Precision/recall when predictions are split into accepted (positive)
+    and rejected (negative) sets and correctness = error <= threshold.
+
+    Parity: /root/reference/gtsfm/utils/metrics.py:607-630
+    (get_precision_recall_from_errors)."""
+    pos = np.asarray(list(positive_errors), np.float64)
+    neg = np.asarray(list(negative_errors), np.float64)
+    tp = float(np.sum(pos <= max_positive_error)) if pos.size else 0.0
+    fp = float(np.sum(pos > max_positive_error)) if pos.size else 0.0
+    fn = float(np.sum(neg <= max_positive_error)) if neg.size else 0.0
+    eps = 1e-12
+    return tp / (tp + fp + eps), tp / (tp + fn + eps)

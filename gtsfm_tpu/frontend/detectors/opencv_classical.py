@@ -85,3 +85,76 @@ class OpenCVDetectorDescriptor:
             ),
             jnp.asarray(out_desc),
         )
+
+
+class CombinationOptions(NamedTuple):
+    max_keypoints: int = 2048
+    detector: str = "fast"  # fast | gftt | dog (SIFT's detector)
+    descriptor: str = "sift"  # sift | root_sift | orb
+
+
+class CombinationDetectorDescriptor:
+    """Mix-and-match: detector X's keypoints described by descriptor Y
+    (parity: frontend/detector_descriptor/combination_detector_descriptor
+    .py + the separate detector/ (DoG, FAST) and descriptor/ (SIFT,
+    RootSIFT) module families)."""
+
+    def __init__(self, options: CombinationOptions = CombinationOptions()):
+        if not _HAS_CV2:
+            raise RuntimeError("OpenCV unavailable")
+        self.options = options
+        o = options
+        if o.detector == "fast":
+            self._det = cv2.FastFeatureDetector_create()
+        elif o.detector == "gftt":
+            self._det = cv2.GFTTDetector_create(maxCorners=o.max_keypoints)
+        elif o.detector == "dog":
+            self._det = cv2.SIFT_create(nfeatures=o.max_keypoints)
+        else:
+            raise ValueError(o.detector)
+        if o.descriptor in ("sift", "root_sift"):
+            self._desc = cv2.SIFT_create()
+        elif o.descriptor == "orb":
+            self._desc = cv2.ORB_create()
+        else:
+            raise ValueError(o.descriptor)
+
+    def __call__(self, image):
+        o = self.options
+        img8 = (np.asarray(image) * 255).clip(0, 255).astype(np.uint8)
+        kps = self._det.detect(img8, None)
+        # descriptors need scale/orientation fields FAST doesn't set
+        for k in kps:
+            if k.size <= 0:
+                k.size = 7.0
+        kps, desc = self._desc.compute(img8, kps)
+        K = o.max_keypoints
+        coords = np.zeros((K, 2), np.float32)
+        scales = np.zeros(K, np.float32)
+        resp = np.zeros(K, np.float32)
+        mask = np.zeros(K, bool)
+        if desc is None or len(kps) == 0:
+            desc = np.zeros((0, 128), np.float32)
+            kps = []
+        order = np.argsort([-k.response for k in kps])[:K]
+        D = desc.shape[1] if len(desc) else 128
+        out_desc = np.zeros((K, D), np.float32)
+        for i, j in enumerate(order):
+            k = kps[j]
+            coords[i] = k.pt
+            scales[i] = k.size
+            resp[i] = k.response
+            mask[i] = True
+            d = desc[j].astype(np.float32)
+            if o.descriptor == "root_sift":
+                d = np.sqrt(d / max(d.sum(), 1e-9))
+            out_desc[i] = d / max(np.linalg.norm(d), 1e-9)
+        return (
+            Keypoints(
+                coordinates=jnp.asarray(coords),
+                scales=jnp.asarray(scales),
+                responses=jnp.asarray(resp),
+                mask=jnp.asarray(mask),
+            ),
+            jnp.asarray(out_desc),
+        )

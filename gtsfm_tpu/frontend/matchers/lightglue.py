@@ -36,6 +36,17 @@ class LightGlueOptions(NamedTuple):
     num_heads: int = 4
     match_threshold: float = 0.1
     input_dim: int = 256  # SuperPoint descriptors
+    # bf16 compute for the transformer matmuls (params stay f32, softmax /
+    # layernorm / assignment in f32) — the MXU-native precision, matching
+    # the official model's fp16 autocast inference; disable for bitwise
+    # exactness tests
+    mixed_precision: bool = True
+    # route _attend through the fused Pallas kernel (pallas_attention.py).
+    # Off by default: measured on-chip at K=1024 the XLA path (which fuses
+    # QK^T+softmax+AV on its own) is ~1.6x faster than the hand kernel
+    # (52ms vs 83ms per pair-forward); keep the kernel for larger K where
+    # the (K,K) HBM round-trip dominates.
+    use_pallas_attention: bool = False
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
@@ -67,13 +78,14 @@ class _FFN(nn.Module):
     """Sequential[Linear(2d, 2d), LayerNorm(2d), GELU, Linear(2d, d)]."""
 
     dim: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(2 * self.dim, name="ffn0")(x)
-        h = nn.LayerNorm(name="ffn1")(h)
+        h = nn.Dense(2 * self.dim, name="ffn0", dtype=self.dtype)(x)
+        h = nn.LayerNorm(name="ffn1", dtype=jnp.float32)(h)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(self.dim, name="ffn3")(h)
+        return nn.Dense(self.dim, name="ffn3", dtype=self.dtype)(h)
 
 
 def _heads(x: jnp.ndarray, h: int) -> jnp.ndarray:
@@ -88,22 +100,45 @@ def _merge(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(1, 0, 2).reshape(K, h * dh)
 
 
-def _attend(q, k, v, kv_mask=None):
-    # q,k,v: (h, Kq/Kk, dh)
-    s = jnp.einsum("hqd,hkd->hqk", q, k) / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+def _attend(q, k, v, kv_mask=None, dtype=jnp.float32, use_pallas=False):
+    # q,k,v: (h, Kq/Kk, dh); score/AV matmuls in `dtype` (bf16 on the MXU
+    # in mixed-precision mode), softmax accumulated in f32. With
+    # use_pallas, tile-aligned K routes through the fused kernel that keeps
+    # the (K, K) score tile in VMEM (pallas_attention.py) — opt-in, see
+    # LightGlueOptions.use_pallas_attention.
+    if (
+        use_pallas
+        and jax.default_backend() in ("tpu", "axon")
+        and q.shape[1] % 128 == 0
+        and k.shape[1] == v.shape[1]
+    ):
+        from gtsfm_tpu.frontend.matchers.pallas_attention import fused_attention
+
+        return fused_attention(q.astype(dtype), k.astype(dtype), v.astype(dtype),
+                               kv_mask=kv_mask)
+    s = jnp.einsum(
+        "hqd,hkd->hqk", q.astype(dtype), k.astype(dtype),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(jnp.float32(q.shape[-1]))
     if kv_mask is not None:
         s = jnp.where(kv_mask[None, None, :], s, -1e9)
-    return jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(s, axis=-1), v)
+    a = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "hqk,hkd->hqd", a.astype(dtype), v.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
 
 
 class SelfBlock(nn.Module):
     dim: int
     heads: int
+    dtype: object = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, mask=None):
         d, h = self.dim, self.heads
-        qkv = nn.Dense(3 * d, name="Wqkv")(x)  # (K, 3d)
+        qkv = nn.Dense(3 * d, name="Wqkv", dtype=self.dtype)(x)  # (K, 3d)
         # official layout: unflatten(-1, (heads, dh, 3))
         K = x.shape[0]
         qkv = qkv.reshape(K, h, d // h, 3)
@@ -113,30 +148,37 @@ class SelfBlock(nn.Module):
         v = v.transpose(1, 0, 2)
         q = _apply_rotary(q, cos[None], sin[None])
         k = _apply_rotary(k, cos[None], sin[None])
-        ctx = _attend(q, k, v, kv_mask=mask)
-        message = nn.Dense(d, name="out_proj")(_merge(ctx))
-        return x + _FFN(d, name="ffn")(jnp.concatenate([x, message], axis=-1))
+        ctx = _attend(q, k, v, kv_mask=mask, dtype=self.dtype,
+                      use_pallas=self.use_pallas)
+        message = nn.Dense(d, name="out_proj", dtype=self.dtype)(_merge(ctx))
+        return x + _FFN(d, name="ffn", dtype=self.dtype)(
+            jnp.concatenate([x, message.astype(x.dtype)], axis=-1)
+        )
 
 
 class CrossBlock(nn.Module):
     dim: int
     heads: int
+    dtype: object = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
         d, h = self.dim, self.heads
-        to_qk = nn.Dense(d, name="to_qk")
-        to_v = nn.Dense(d, name="to_v")
-        to_out = nn.Dense(d, name="to_out")
-        ffn = _FFN(d, name="ffn")
+        to_qk = nn.Dense(d, name="to_qk", dtype=self.dtype)
+        to_v = nn.Dense(d, name="to_v", dtype=self.dtype)
+        to_out = nn.Dense(d, name="to_out", dtype=self.dtype)
+        ffn = _FFN(d, name="ffn", dtype=self.dtype)
         qk0 = _heads(to_qk(x0), h)
         qk1 = _heads(to_qk(x1), h)
         v0 = _heads(to_v(x0), h)
         v1 = _heads(to_v(x1), h)
-        m0 = to_out(_merge(_attend(qk0, qk1, v1, kv_mask=mask1)))
-        m1 = to_out(_merge(_attend(qk1, qk0, v0, kv_mask=mask0)))
-        x0 = x0 + ffn(jnp.concatenate([x0, m0], axis=-1))
-        x1 = x1 + ffn(jnp.concatenate([x1, m1], axis=-1))
+        m0 = to_out(_merge(_attend(qk0, qk1, v1, kv_mask=mask1, dtype=self.dtype,
+                                   use_pallas=self.use_pallas)))
+        m1 = to_out(_merge(_attend(qk1, qk0, v0, kv_mask=mask0, dtype=self.dtype,
+                                   use_pallas=self.use_pallas)))
+        x0 = x0 + ffn(jnp.concatenate([x0, m0.astype(x0.dtype)], axis=-1))
+        x1 = x1 + ffn(jnp.concatenate([x1, m1.astype(x1.dtype)], axis=-1))
         return x0, x1
 
 
@@ -165,6 +207,30 @@ class MatchAssignment(nn.Module):
         return scores, z0, z1
 
 
+class _TransformerLayer(nn.Module):
+    """One LightGlue layer (shared-weight self-attention on both images +
+    cross-attention), shaped for nn.scan: the 9 layers compile ONCE instead
+    of being unrolled (9x faster XLA compile at identical math)."""
+
+    dim: int
+    heads: int
+    dtype: object
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x0, x1, cos0, sin0, cos1, sin1, m0, m1 = carry
+        sb = SelfBlock(self.dim, self.heads, dtype=self.dtype,
+                       use_pallas=self.use_pallas, name="self")
+        x0 = sb(x0, cos0, sin0, mask=m0)
+        x1 = sb(x1, cos1, sin1, mask=m1)
+        x0, x1 = CrossBlock(self.dim, self.heads, dtype=self.dtype,
+                            use_pallas=self.use_pallas, name="cross")(
+            x0, x1, mask0=m0, mask1=m1
+        )
+        return (x0, x1, cos0, sin0, cos1, sin1, m0, m1), None
+
+
 class LightGlueNet(nn.Module):
     opts: LightGlueOptions
 
@@ -174,19 +240,23 @@ class LightGlueNet(nn.Module):
         Returns (log-assignment (K0+1, K1+1), matchability0, matchability1).
         """
         o = self.opts
+        cdtype = jnp.bfloat16 if o.mixed_precision else jnp.float32
         proj = nn.Dense(o.dim, name="input_proj")
         x0 = proj(desc0)
         x1 = proj(desc1)
         posenc = FourierPosEnc(o.dim // o.num_heads, name="posenc")
         cos0, sin0 = posenc(coords0)
         cos1, sin1 = posenc(coords1)
-        for i in range(o.num_layers):
-            sb = SelfBlock(o.dim, o.num_heads, name=f"self{i}")  # shared weights
-            x0 = sb(x0, cos0, sin0, mask=mask0)
-            x1 = sb(x1, cos1, sin1, mask=mask1)
-            x0, x1 = CrossBlock(o.dim, o.num_heads, name=f"cross{i}")(
-                x0, x1, mask0=mask0, mask1=mask1
-            )
+        Layers = nn.scan(
+            _TransformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=o.num_layers,
+        )
+        carry = (x0, x1, cos0, sin0, cos1, sin1, mask0, mask1)
+        carry, _ = Layers(o.dim, o.num_heads, cdtype, o.use_pallas_attention,
+                          name="layers")(carry, None)
+        x0, x1 = carry[0], carry[1]
         scores, z0, z1 = MatchAssignment(o.dim, name="assign")(x0, x1)
         return scores, z0, z1
 
@@ -303,28 +373,35 @@ def convert_torch_state_dict(sd, opts: LightGlueOptions):
         "posenc": {"Wr": {"kernel": jnp.asarray(np.asarray(sd["posenc.Wr.weight"], np.float32).T)}},
     }
     L = opts.num_layers
+    per_layer = []
     for i in range(L):
         sa = f"transformers.{i}.self_attn"
         ca = f"transformers.{i}.cross_attn"
-        params[f"self{i}"] = {
-            "Wqkv": lin(f"{sa}.Wqkv"),
-            "out_proj": lin(f"{sa}.out_proj"),
-            "ffn": {
-                "ffn0": lin(f"{sa}.ffn.0"),
-                "ffn1": ln(f"{sa}.ffn.1"),
-                "ffn3": lin(f"{sa}.ffn.3"),
-            },
-        }
-        params[f"cross{i}"] = {
-            "to_qk": lin(f"{ca}.to_qk"),
-            "to_v": lin(f"{ca}.to_v"),
-            "to_out": lin(f"{ca}.to_out"),
-            "ffn": {
-                "ffn0": lin(f"{ca}.ffn.0"),
-                "ffn1": ln(f"{ca}.ffn.1"),
-                "ffn3": lin(f"{ca}.ffn.3"),
-            },
-        }
+        per_layer.append(
+            {
+                "self": {
+                    "Wqkv": lin(f"{sa}.Wqkv"),
+                    "out_proj": lin(f"{sa}.out_proj"),
+                    "ffn": {
+                        "ffn0": lin(f"{sa}.ffn.0"),
+                        "ffn1": ln(f"{sa}.ffn.1"),
+                        "ffn3": lin(f"{sa}.ffn.3"),
+                    },
+                },
+                "cross": {
+                    "to_qk": lin(f"{ca}.to_qk"),
+                    "to_v": lin(f"{ca}.to_v"),
+                    "to_out": lin(f"{ca}.to_out"),
+                    "ffn": {
+                        "ffn0": lin(f"{ca}.ffn.0"),
+                        "ffn1": ln(f"{ca}.ffn.1"),
+                        "ffn3": lin(f"{ca}.ffn.3"),
+                    },
+                },
+            }
+        )
+    # nn.scan layout: per-layer trees stacked on a leading layer axis
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     last = L - 1
     params["assign"] = {
         "final_proj": lin(f"log_assignment.{last}.final_proj"),

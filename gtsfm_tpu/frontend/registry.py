@@ -130,6 +130,16 @@ def build_detector(cfg: Optional[dict]):
 
         opts = OpenCVDetectorOptions(kind=name, **cfg)
         return _HostDetectorAdapter(OpenCVDetectorDescriptor(opts), opts.max_keypoints)
+    if name == "combination":
+        from gtsfm_tpu.frontend.detectors.opencv_classical import (
+            CombinationDetectorDescriptor,
+            CombinationOptions,
+        )
+
+        opts = CombinationOptions(**cfg)
+        return _HostDetectorAdapter(
+            CombinationDetectorDescriptor(opts), opts.max_keypoints
+        )
     raise ValueError(f"Unknown detector: {name!r}")
 
 

@@ -95,4 +95,22 @@ def aggregate_frontend_metrics(
     if valid:
         g.add(Metric("inlier_ratio_per_pair", np.array([r.inlier_ratio for r in valid])))
         g.add(Metric("num_inliers_per_pair", np.array([r.num_inliers for r in valid])))
+    # precision/recall of the accept decision: a pair the verifier accepted
+    # counts as correct when its GT pose error <= threshold (parity:
+    # utils/metrics.py:607-630 applied to the verifier split)
+    rejected = [r for r in reports if not r.valid]
+    if valid and valid[0].R_error_deg is not None:
+        from gtsfm_tpu.evaluation.metrics import precision_recall_from_errors
+
+        pos = [max(r.R_error_deg, r.U_error_deg) for r in valid]
+        neg = [
+            max(r.R_error_deg, r.U_error_deg)
+            for r in rejected
+            if r.R_error_deg is not None
+        ]
+        precision, recall = precision_recall_from_errors(
+            pos, neg, angular_err_threshold_deg
+        )
+        g.add(Metric("pose_precision", precision))
+        g.add(Metric("pose_recall", recall))
     return g

@@ -368,6 +368,15 @@ class SceneOptimizer:
                 + [Metric(k, v) for k, v in auc.items()],
             )
             metrics_groups.append(eval_group)
+            # intrinsics error vs the loader's (GT) calibrations
+            # (compute_intrinsics_metrics parity, utils/metrics.py:523)
+            from gtsfm_tpu.evaluation.metrics import intrinsics_error_metrics
+            from gtsfm_tpu.loader.base import batch_calibrations as _batch_cal
+
+            cal0 = _batch_cal(loader.get_all_intrinsics())
+            metrics_groups.append(
+                intrinsics_error_metrics(data.cal, cal0, valid_mask=est_mask)
+            )
 
         # ---- optional dense MVS / gaussian splatting ------------------
         dense_points = None

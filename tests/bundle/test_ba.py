@@ -264,3 +264,47 @@ def test_ba_shared_intrinsics_exact_schur_variable():
     f_gt = float(np.asarray(gt.cal.f)[0])
     assert abs(f[0] - f_gt) / f_gt < 0.01, f
     assert m["final_cost"] < m["initial_cost"] * 1e-2
+
+
+def test_ba_karcher_gauge_without_fixed_cameras():
+    """With no frozen camera, the Karcher gauge keeps the free cameras from
+    drifting as a block while still converging (bundle_adjustment.py:218-254
+    Karcher-mean gauge parity)."""
+    gt = make_synthetic_scene(n_cams=5, n_tracks=60)
+    noisy = _perturb(gt, pose_sigma=0.02, point_sigma=0.05, seed=3, n_anchors=0)
+    ba = BundleAdjustment(
+        BAOptions(max_iterations=25, cg_iterations=40, gauge="karcher",
+                  first_point_prior_weight=10.0)
+    )
+    opt, metrics = ba.run(noisy, fixed_cam=jnp.zeros(5, bool))
+    errs = _masked_errors(opt)
+    assert metrics["final_cost"] < metrics["initial_cost"]
+    assert np.mean(errs) < 0.2, f"mean reproj {np.mean(errs)}"
+    # the ROTATION gauge stayed put (Karcher constrains mean rotation; the
+    # reference leaves translation gauge to priors): the mean rotation
+    # tangent between init and solution is near zero
+    from gtsfm_tpu.geometry import so3
+
+    dR = np.einsum("nij,nkj->nik", np.asarray(opt.poses.R), np.asarray(noisy.poses.R))
+    mean_tangent = np.asarray(so3.logmap(jnp.asarray(dR))).mean(0)
+    assert np.linalg.norm(mean_tangent) < 0.02, mean_tangent
+
+
+def test_ba_cal_prior_keeps_intrinsics_near_init():
+    """cal_prior_weight regularizes optimized intrinsics toward their
+    initial values (calibration priors, bundle_adjustment.py:256-295)."""
+    gt = make_synthetic_scene(n_cams=5, n_tracks=60)
+    noisy = _perturb(gt, pose_sigma=0.01, point_sigma=0.02, seed=4)
+    fixed = jnp.zeros(5, bool).at[0].set(True).at[1].set(True)
+    f0 = np.asarray(noisy.cal.fx).copy()
+
+    loose = BundleAdjustment(BAOptions(max_iterations=15, optimize_intrinsics=True))
+    tight = BundleAdjustment(
+        BAOptions(max_iterations=15, optimize_intrinsics=True, cal_prior_weight=1e4)
+    )
+    opt_l, _ = loose.run(noisy, fixed_cam=fixed)
+    opt_t, _ = tight.run(noisy, fixed_cam=fixed)
+    dev_l = np.abs(np.asarray(opt_l.cal.fx) - f0).max()
+    dev_t = np.abs(np.asarray(opt_t.cal.fx) - f0).max()
+    assert dev_t <= dev_l + 1e-6
+    assert dev_t < 1.0  # strong prior pins focals to their start

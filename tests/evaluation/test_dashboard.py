@@ -69,3 +69,53 @@ def test_dashboard_cli(tmp_path, capsys):
     out = str(tmp_path / "cli.html")
     main(["--master", f"door={master}", "--branch", f"door={branch}", "--output", out])
     assert os.path.exists(out)
+
+
+def test_intrinsics_error_metrics():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.evaluation.metrics import intrinsics_error_metrics
+    from gtsfm_tpu.geometry import Cal3Bundler
+
+    gt = Cal3Bundler.create(jnp.array([500.0, 600.0]), jnp.array([0.01, 0.0]),
+                            jnp.array([0.001, 0.0]), jnp.zeros(2), jnp.zeros(2))
+    est = Cal3Bundler.create(jnp.array([505.0, 594.0]), jnp.array([0.02, 0.0]),
+                             jnp.array([0.001, 0.0]), jnp.zeros(2), jnp.zeros(2))
+    g = intrinsics_error_metrics(est, gt)
+    d = g.to_dict()["intrinsics_metrics"]
+    assert d["focal_length_error_px"]["summary"]["max"] == 6.0
+    assert abs(d["focal_length_error_pct"]["summary"]["max"] - 1.0) < 1e-6
+    assert abs(d["k1_error"]["summary"]["max"] - 0.01) < 1e-9
+
+
+def test_precision_recall_from_errors():
+    from gtsfm_tpu.evaluation.metrics import precision_recall_from_errors
+
+    # accepted: 3 correct (err<=5), 1 wrong; rejected: 1 would-be-correct
+    p, r = precision_recall_from_errors([1, 2, 3, 10], [4, 20], 5.0)
+    assert abs(p - 3 / 4) < 1e-9
+    assert abs(r - 3 / 4) < 1e-9
+
+
+def test_compare_by_cluster(tmp_path):
+    """Per-cluster COLMAP comparison discovers and aligns each cluster
+    export independently (compare_colmap_outputs_by_cluster parity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.evaluation.compare import compare_colmap_dirs_by_cluster
+    from gtsfm_tpu.io import colmap as colmap_io
+    from tests.common.test_sfm_data import make_synthetic_scene
+
+    scene = make_synthetic_scene(n_cams=5, n_tracks=40)
+    ref_dir = str(tmp_path / "ref")
+    colmap_io.write_scene(scene, ref_dir)
+    for c in ("cluster_0", "cluster_1"):
+        colmap_io.write_scene(scene, str(tmp_path / "est" / c / "ba_output"))
+    groups = compare_colmap_dirs_by_cluster(str(tmp_path / "est"), ref_dir)
+    assert len(groups) == 2
+    for g in groups:
+        d = g.to_dict()[g.name]
+        assert d["num_matched_cameras"] == 5
+        assert d["rotation_error_deg"]["summary"]["max"] < 1e-3

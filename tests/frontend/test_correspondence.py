@@ -57,3 +57,28 @@ def test_colmap_correspondence_generator():
     assert set(corrs) == {(0, 1), (0, 2)}
     uv1, uv2 = corrs[(0, 1)]
     assert len(uv1) == len(uv2) > 20
+
+
+def test_combination_detector_descriptor():
+    """FAST detector + SIFT descriptor mix-and-match through the registry
+    (combination_detector_descriptor.py parity)."""
+    import numpy as np
+
+    from gtsfm_tpu.frontend.registry import build_detector
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((96, 128), np.float32)
+    # corners that FAST can find
+    img[20:60, 30:70] = 1.0
+    img[50:80, 80:110] = 0.5
+    img += rng.uniform(0, 0.05, img.shape).astype(np.float32)
+
+    adapter = build_detector(
+        {"name": "combination", "detector": "fast", "descriptor": "root_sift",
+         "max_keypoints": 64}
+    )
+    kp_xy, kp_mask, descs = adapter.detect_batch(img[None])
+    assert kp_xy.shape == (1, 64, 2)
+    assert kp_mask[0].sum() > 4  # corners found
+    d = descs[0][kp_mask[0]]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)

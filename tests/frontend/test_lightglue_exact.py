@@ -192,7 +192,7 @@ def test_lightglue_matches_torch_reference():
             torch.from_numpy(c0)[None], torch.from_numpy(c1)[None],
         )[0].numpy()
 
-    opts = LightGlueOptions(dim=dim, num_layers=L, num_heads=heads, input_dim=D_in)
+    opts = LightGlueOptions(dim=dim, num_layers=L, num_heads=heads, input_dim=D_in, mixed_precision=False)
     params = convert_torch_state_dict(tmodel.state_dict(), opts)
     matcher = LightGlueMatcher(opts, params=params)
 
@@ -230,7 +230,7 @@ def test_load_torch_weights_roundtrip(tmp_path):
 
     params, opts = load_torch_weights(str(p))
     assert opts.num_layers == 2 and opts.dim == 32 and opts.input_dim == 32
-    matcher = LightGlueMatcher(opts, params=params)
+    matcher = LightGlueMatcher(opts._replace(mixed_precision=False), params=params)
 
     rng = np.random.default_rng(1)
     K = 12
@@ -256,7 +256,7 @@ def test_match_contract():
     """match() returns the (idx, mask, score) contract and respects masks."""
     import jax.numpy as jnp
 
-    opts = LightGlueOptions(dim=32, num_layers=1, num_heads=2, input_dim=32)
+    opts = LightGlueOptions(dim=32, num_layers=1, num_heads=2, input_dim=32, mixed_precision=False)
     matcher = LightGlueMatcher(opts)
     rng = np.random.default_rng(2)
     K = 16

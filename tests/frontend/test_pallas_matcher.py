@@ -48,3 +48,28 @@ def test_pallas_all_masked():
         d, d, jnp.zeros(K, bool), jnp.zeros(K, bool), tile_m=128, interpret=True
     )
     assert not np.asarray(ok).any()
+
+
+def test_fused_attention_matches_xla_reference():
+    """Pallas fused attention (interpret mode on CPU) == the XLA einsum
+    attention path, including kv masking."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.frontend.matchers.pallas_attention import fused_attention
+
+    rng = np.random.default_rng(0)
+    h, K, dh = 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(h, K, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(h, K, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(h, K, dh)).astype(np.float32))
+    mask = jnp.asarray(rng.random(K) > 0.3)
+
+    got = np.asarray(fused_attention(q, k, v, kv_mask=mask, interpret=True))
+
+    s = np.einsum("hqd,hkd->hqk", np.asarray(q), np.asarray(k)) / np.sqrt(dh)
+    s = np.where(np.asarray(mask)[None, None, :], s, -1e9)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("hqk,hkd->hqd", p, np.asarray(v))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
