@@ -100,7 +100,8 @@ def _two_view_bench():
 
 def _ba_bench():
     """LM iterations/sec on a realistic synthetic problem (64 cams, 4096
-    tracks, ~24k measurements), Schur-PCG with 40 CG iters per LM iter."""
+    tracks, ~24k measurements), dense-Schur layout (exact camera solve
+    per LM step, analytic entry-major linearization)."""
     import jax
     import jax.numpy as jnp
 
@@ -136,10 +137,12 @@ def _ba_bench():
         jnp.full(n_cam, 500.0), jnp.zeros(n_cam), jnp.zeros(n_cam),
         jnp.full(n_cam, 400.0), jnp.full(n_cam, 400.0),
     )
+    # SfmData poses are camera-to-world (SE3 == wTi): invert the
+    # world-to-camera (Rws, ts) used to synthesize the measurements
     noise_rot = expmap(jnp.asarray(rng.normal(0, 0.02, (n_cam, 3)), jnp.float32))
     poses = SE3(
-        R=jnp.einsum("nij,njk->nik", noise_rot, jnp.asarray(Rws)),
-        t=jnp.asarray(ts + rng.normal(0, 0.05, ts.shape), jnp.float32),
+        R=jnp.einsum("nij,nkj->nik", noise_rot, jnp.asarray(Rws)),
+        t=jnp.asarray(centers + rng.normal(0, 0.05, centers.shape), jnp.float32),
     )
     data = SfmData(
         poses=poses,
@@ -153,7 +156,10 @@ def _ba_bench():
         meas_mask=jnp.ones(M, bool),
     )
     prob = problem_from_sfm_data(data, fixed_cam=jnp.arange(n_cam) == 0)
-    opts = BAOptions(max_iterations=30, cg_iterations=40)
+    from gtsfm_tpu.bundle.ba import densify_problem
+
+    prob, L = densify_problem(prob)
+    opts = BAOptions(max_iterations=30, layout="dense", dense_track_len=L)
 
     _, c0, cf, _ = _optimize_jit(prob, opts)  # compile
     float(cf)

@@ -32,7 +32,7 @@ from gtsfm_tpu.splat.gs_data import GSData
 class ClusterFeedforwardOptions(NamedTuple):
     model: FeedforwardOptions = FeedforwardOptions()
     run_post_ba: bool = True
-    ba: BAOptions = BAOptions(max_iterations=10)
+    ba: BAOptions = BAOptions(max_iterations=10, layout="dense")
     conf_threshold: float = 0.5
     # multi-view tracks via the tracking head (run_vggt_tracking parity);
     # falls back to depth self-tracks when tracking yields too few

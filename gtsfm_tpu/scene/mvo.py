@@ -43,7 +43,7 @@ class MVOOptions(NamedTuple):
     run_view_graph_two_passes: bool = True  # MIN then MEDIAN (mvo.py:82-84)
     rotation: RotationAveragingOptions = RotationAveragingOptions()
     translation: TranslationAveragingOptions = TranslationAveragingOptions()
-    ba: BAOptions = BAOptions(max_iterations=30, cg_iterations=40)
+    ba: BAOptions = BAOptions(max_iterations=30, cg_iterations=40, layout="dense")
     reproj_thresholds: tuple = (10.0, 5.0, 3.0)  # staged BA schedule
     min_track_len: int = 2
     max_track_len: int = 15
