@@ -356,7 +356,14 @@ class TranslationAveraging:
         solve_w = w
         num_nodes = n_body
         if track_dirs is not None:
-            cam_idx, track_node, tdirs = track_dirs
+            # 3-tuple (cam_idx, track_node, dirs) or 4-tuple with an extra
+            # per-direction weight (0 = padding entry, kept for static shapes)
+            if len(track_dirs) == 4:
+                cam_idx, track_node, tdirs, tw = track_dirs
+                tw = 0.5 * np.asarray(tw, np.float32)
+            else:
+                cam_idx, track_node, tdirs = track_dirs
+                tw = 0.5 * np.ones(len(np.asarray(cam_idx)), np.float32)
             num_nodes = n_body + (int(np.max(track_node)) + 1 if len(track_node) else 0)
             # direction from camera -> track: t_track - t_cam ~ s * dir
             aug_edges = np.stack(
@@ -366,7 +373,7 @@ class TranslationAveraging:
             solve_edges = np.concatenate([solve_edges, aug_edges])
             solve_c = np.concatenate([solve_c, aug_c])
             solve_dirs = np.concatenate([w_dirs, np.asarray(tdirs, np.float32)])
-            solve_w = np.concatenate([w, 0.5 * np.ones(len(aug_edges), np.float32)])
+            solve_w = np.concatenate([w, tw])
         se = jnp.asarray(solve_edges.astype(np.int32))
         sd = jnp.asarray(solve_dirs)
         sw = jnp.asarray(solve_w)
@@ -423,25 +430,36 @@ def camera_track_directions(
     wRi: "np.ndarray", cal, track_cam, track_uv, track_mask, selected
 ):
     """Unit world directions camera -> track landmark from the bearing of
-    each selected track observation. Returns (cam_idx, track_node, dirs)."""
+    each selected track observation. Returns (cam_idx, track_node, dirs).
+
+    Fully batched: one calibrate over every selected observation and one
+    rotation einsum (the per-observation python loop issued thousands of
+    tiny device calls and dominated wall-clock at 500-camera scale)."""
     import jax
     import jax.numpy as jnp
 
-    cams, nodes, dirs = [], [], []
-    for node, t in enumerate(selected):
-        obs = np.nonzero(track_mask[t])[0]
-        for k in obs:
-            i = int(track_cam[t, k])
-            cal_i = jax.tree.map(lambda a: a[i], cal)
-            xy = np.asarray(cal_i.calibrate(jnp.asarray(track_uv[t, k])))
-            bearing = np.array([xy[0], xy[1], 1.0], np.float64)
-            bearing /= np.linalg.norm(bearing)
-            d = wRi[i] @ bearing
-            cams.append(i)
-            nodes.append(node)
-            dirs.append(d.astype(np.float32))
+    selected = np.asarray(selected, np.int64)
+    if len(selected) == 0:
+        return (
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros((0, 3), np.float32),
+        )
+    sel_cam = np.asarray(track_cam)[selected]  # (S, L)
+    sel_uv = np.asarray(track_uv)[selected]  # (S, L, 2)
+    sel_m = np.asarray(track_mask)[selected]  # (S, L)
+    S, L = sel_cam.shape
+    flat_cam = sel_cam.reshape(-1).astype(np.int64)
+    cal_g = jax.tree.map(lambda a: jnp.asarray(a)[flat_cam], cal)
+    xy = np.asarray(cal_g.calibrate(jnp.asarray(sel_uv.reshape(-1, 2), jnp.float32)))
+    bearing = np.concatenate(
+        [xy.astype(np.float64), np.ones((len(xy), 1))], axis=-1
+    )
+    bearing /= np.linalg.norm(bearing, axis=-1, keepdims=True)
+    d = np.einsum("mij,mj->mi", np.asarray(wRi, np.float64)[flat_cam], bearing)
+    keep = sel_m.reshape(-1)
+    nodes = np.repeat(np.arange(S, dtype=np.int32), L)
     return (
-        np.asarray(cams, np.int32),
-        np.asarray(nodes, np.int32),
-        np.asarray(dirs, np.float32).reshape(-1, 3),
+        flat_cam[keep].astype(np.int32),
+        nodes[keep],
+        d[keep].astype(np.float32),
     )

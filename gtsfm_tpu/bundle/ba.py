@@ -1269,6 +1269,112 @@ class BundleAdjustment:
             )
         return out, metrics
 
+    def run_compact(self, data: SfmData, fixed_cam=None, **prior_kwargs) -> tuple:
+        """run() on a camera-compacted, pow2-bucketed copy of the scene.
+
+        Cameras are remapped to a dense local index space sized to the
+        next power of two >= the number of ACTIVE cameras, and the track /
+        measurement axes are padded to pow2 buckets. Solve cost then
+        scales with the active subproblem (a merged scene pair, a cluster)
+        rather than the full scene camera count, and XLA executables are
+        shared across the many similarly-sized solves of a hierarchical
+        merge instead of recompiling per node. Results are scattered back
+        into the original global layout (padding trimmed).
+        """
+        import numpy as np
+
+        from gtsfm_tpu.utils.numerics import ceil_pow2
+
+        N = data.max_cameras
+        pm = np.asarray(data.pose_mask)
+        mm = np.asarray(data.meas_mask)
+        with_meas = np.zeros(N, bool)
+        with_meas[np.asarray(data.meas_cam)[mm]] = True
+        active = pm | with_meas
+        act_idx = np.flatnonzero(active)
+        if len(act_idx) == 0:
+            return data, {"initial_cost": 0.0, "final_cost": 0.0, "iterations": 0}
+        n_loc = ceil_pow2(len(act_idx), 8)
+        pad_idx = np.concatenate(
+            [act_idx, np.full(n_loc - len(act_idx), act_idx[0], np.int64)]
+        )
+        g2l = np.zeros(N, np.int64)
+        g2l[act_idx] = np.arange(len(act_idx))
+
+        T = data.max_tracks
+        T_pad = ceil_pow2(T, 16)
+        M = data.meas_cam.shape[0]
+        M_pad = ceil_pow2(M, 16)
+        jp = jnp.asarray(pad_idx)
+
+        def padT(a, fill=0):
+            if T_pad == T:
+                return jnp.asarray(a)
+            pad_shape = (T_pad - T,) + a.shape[1:]
+            return jnp.concatenate(
+                [jnp.asarray(a), jnp.full(pad_shape, fill, a.dtype)]
+            )
+
+        def padM(a, fill=0):
+            if M_pad == M:
+                return jnp.asarray(a)
+            pad_shape = (M_pad - M,) + a.shape[1:]
+            return jnp.concatenate(
+                [jnp.asarray(a), jnp.full(pad_shape, fill, a.dtype)]
+            )
+
+        local = data.replace(
+            poses=jax.tree.map(lambda a: a[jp], data.poses),
+            pose_mask=jnp.asarray(data.pose_mask)[jp]
+            & (jnp.arange(n_loc) < len(act_idx)),
+            cal=jax.tree.map(lambda a: jnp.asarray(a)[jp], data.cal),
+            points=padT(data.points),
+            track_mask=padT(data.track_mask, False),
+            meas_cam=padM(jnp.asarray(g2l, jnp.int32)[data.meas_cam]),
+            meas_track=padM(data.meas_track),
+            meas_uv=padM(data.meas_uv),
+            meas_mask=padM(data.meas_mask, False),
+        )
+        if fixed_cam is None:
+            fixed_local = None
+        else:
+            fc = np.asarray(fixed_cam)
+            fixed_local = jnp.asarray(
+                np.concatenate(
+                    [fc[act_idx], np.ones(n_loc - len(act_idx), bool)]
+                )
+            )
+        if prior_kwargs.get("rel_edges") is not None:
+            prior_kwargs = dict(prior_kwargs)
+            prior_kwargs["rel_edges"] = jnp.asarray(
+                g2l[np.asarray(prior_kwargs["rel_edges"])], jnp.int32
+            )
+        if prior_kwargs.get("prior_pose") is not None:
+            prior_kwargs = dict(prior_kwargs)
+            prior_kwargs["prior_pose"] = jax.tree.map(
+                lambda a: a[jp], prior_kwargs["prior_pose"]
+            )
+            prior_kwargs["prior_weight"] = jnp.asarray(
+                prior_kwargs["prior_weight"]
+            )[jp] * (jnp.arange(n_loc) < len(act_idx))
+
+        out_l, metrics = self.run(local, fixed_cam=fixed_local, **prior_kwargs)
+
+        ai = jnp.asarray(act_idx)
+        nl = len(act_idx)
+        out = data.replace(
+            poses=jax.tree.map(
+                lambda g, l: g.at[ai].set(l[:nl]), data.poses, out_l.poses
+            ),
+            cal=jax.tree.map(
+                lambda g, l: jnp.asarray(g).at[ai].set(l[:nl]), data.cal, out_l.cal
+            ),
+            points=out_l.points[:T],
+            track_mask=out_l.track_mask[:T],
+            meas_mask=out_l.meas_mask[:M],
+        )
+        return out, metrics
+
     def run_staged(self, data: SfmData, reproj_thresholds=(10.0, 5.0, 3.0), fixed_cam=None):
         """Optimize, filter by reprojection error, repeat — the reference's
         staged schedule. Returns (SfmData, metrics list)."""

@@ -172,7 +172,10 @@ def merge_children(
         )
         fixed = np.zeros(merged.max_cameras, bool)
         fixed[np.argmax(counts)] = True
-        merged, ba_metrics = ba.run(merged, fixed_cam=jnp.asarray(fixed))
+        # compacted solve: the merged pair typically activates a small
+        # fraction of the full camera space, and pow2 bucketing shares
+        # compiled executables across the merge tree
+        merged, ba_metrics = ba.run_compact(merged, fixed_cam=jnp.asarray(fixed))
         merged = merged.filter_by_reprojection_error(opts.parent_reproj_filter_px)
         metrics["parent_ba"] = ba_metrics
     metrics["merged_tracks"] = merged.number_tracks()

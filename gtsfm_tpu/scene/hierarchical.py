@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
+from gtsfm_tpu.geometry import SE3
 from gtsfm_tpu.merging.merge import MergeOptions, merge_children
 from gtsfm_tpu.partitioner.partitioners import MetisPartitioner
 from gtsfm_tpu.products.types import ClusterTree
@@ -69,24 +70,91 @@ class HierarchicalReconstruction:
         cluster_metrics = []
 
         def run_leaf(node: ClusterTree):
+            """Run MVO on a COMPACTED cluster: cameras remapped to a dense
+            pow2-bucketed local index space, edges padded to a pow2 bucket.
+            Per-cluster compute then scales with cluster size (not scene
+            size) and XLA executables are shared between the many clusters
+            of a large scene instead of recompiling per leaf."""
+            import jax
+            import jax.numpy as jnp
+
+            from gtsfm_tpu.utils.numerics import ceil_pow2
+
             sel = edge_subset(node.value)
-            data, m = mvo.run(
-                num_images=num_images,
-                pairs=edges[sel],
-                i2Ri1=np.asarray(tvr["i2Ri1"])[sel],
-                i2Ui1=np.asarray(tvr["i2Ui1"])[sel],
-                pair_valid=valid[sel],
-                num_inliers=np.asarray(tvr["num_inliers"])[sel],
-                corr_i1=np.asarray(tvr["corr_i1"])[sel],
-                corr_i2=np.asarray(tvr["corr_i2"])[sel],
-                corr_mask=np.asarray(tvr["corr_mask"])[sel],
-                keypoints_xy=keypoints_xy,
-                cal=cal,
-                meta=meta,
+            sub_edges = edges[sel]
+            local_cams = np.unique(sub_edges)
+            n_local = ceil_pow2(len(local_cams), 8)
+            g2l = np.full(num_images, -1, np.int64)
+            g2l[local_cams] = np.arange(len(local_cams))
+            E_raw = len(sel)
+            E_pad = ceil_pow2(E_raw, 8)
+            padE = E_pad - E_raw
+
+            def _pad(a, fill=0):
+                out = np.full((padE,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, out])
+
+            pairs_l = _pad(g2l[sub_edges])
+            pairs_l[E_raw:] = [0, 1]  # in-range dummy, pair_valid False
+            R_l = _pad(np.asarray(tvr["i2Ri1"])[sel])
+            R_l[E_raw:] = np.eye(3, dtype=R_l.dtype)
+            U_l = _pad(np.asarray(tvr["i2Ui1"])[sel])
+            U_l[E_raw:] = [0.0, 0.0, 1.0]
+            # local camera-indexed inputs, padded rows harmless (no edges)
+            cam_pad_idx = np.concatenate([
+                local_cams,
+                np.full(n_local - len(local_cams), local_cams[0], np.int64),
+            ])
+            kp_l = np.asarray(keypoints_xy)[cam_pad_idx]
+            cal_l = jax.tree.map(lambda a: jnp.asarray(a)[jnp.asarray(cam_pad_idx)], cal)
+
+            data_l, m = mvo.run(
+                num_images=n_local,
+                pairs=pairs_l,
+                i2Ri1=R_l,
+                i2Ui1=U_l,
+                pair_valid=_pad(valid[sel]),
+                num_inliers=_pad(np.asarray(tvr["num_inliers"])[sel]),
+                corr_i1=_pad(np.asarray(tvr["corr_i1"])[sel]),
+                corr_i2=_pad(np.asarray(tvr["corr_i2"])[sel]),
+                corr_mask=_pad(np.asarray(tvr["corr_mask"])[sel]),
+                keypoints_xy=kp_l,
+                cal=cal_l,
+                meta=None,
             )
             cluster_metrics.append({k: v for k, v in m.items() if k != "aux"})
+            if m.get("failed"):
+                return None
+            # expand the local result back to the global camera space
+            nl = len(local_cams)
+            lc = jnp.asarray(local_cams)
+            poses_g = SE3.identity((num_images,))
+            poses_g = SE3(
+                R=poses_g.R.at[lc].set(data_l.poses.R[:nl]),
+                t=poses_g.t.at[lc].set(data_l.poses.t[:nl]),
+            )
+            pose_mask_g = jnp.zeros(num_images, bool).at[lc].set(
+                data_l.pose_mask[:nl]
+            )
+            cal_g = jax.tree.map(
+                lambda g, l: jnp.asarray(g).at[lc].set(l[:nl]), cal, data_l.cal
+            )
+            data = SfmData(
+                poses=poses_g,
+                pose_mask=pose_mask_g,
+                cal=cal_g,
+                points=data_l.points,
+                track_mask=data_l.track_mask,
+                meas_cam=jnp.asarray(local_cams, jnp.int32)[data_l.meas_cam],
+                meas_track=data_l.meas_track,
+                meas_uv=data_l.meas_uv,
+                meas_mask=data_l.meas_mask,
+                meta=meta,
+            )
             aux = m.get("aux", {})
-            return None if m.get("failed") else (data, _kp_track_map(aux))
+            if aux:
+                aux = dict(aux, meas_cam=local_cams[np.asarray(aux["meas_cam"])])
+            return (data, _kp_track_map(aux))
 
         def fold(node: ClusterTree, child_results):
             child_results = [c for c in child_results if c is not None]
@@ -109,6 +177,9 @@ class HierarchicalReconstruction:
                         result = other
                     metrics.setdefault("merge_failures", 0)
                     metrics["merge_failures"] += 1
+                    metrics.setdefault("merge_failure_reasons", []).append(
+                        getattr(self, "_last_merge_fail", "unknown")
+                    )
                 else:
                     result = merged
             return result
@@ -129,7 +200,8 @@ class HierarchicalReconstruction:
         cams_a = set(np.nonzero(np.asarray(data_a.pose_mask))[0].tolist())
         cams_b = set(np.nonzero(np.asarray(data_b.pose_mask))[0].tolist())
         if cams_a & cams_b:
-            return None  # overlapping cameras unsupported in concatenation
+            self._last_merge_fail = "overlapping_cameras"
+            return None
 
         pa, pb, ta, tb = [], [], [], []
         corr_i1 = np.asarray(tvr["corr_i1"])
@@ -162,6 +234,21 @@ class HierarchicalReconstruction:
                 ta.append(t_a)
                 tb.append(t_b)
         if not pa:
+            # diagnose: cut edges whose endpoints are not split across the
+            # two children indicate cameras dropped below (CC pruning or a
+            # cascaded merge failure); map misses indicate filtered tracks
+            n_cut = n_orient = 0
+            for a_img, b_img in node.value:
+                key = (int(a_img), int(b_img))
+                if key not in eindex:
+                    continue
+                n_cut += 1
+                i, j = key
+                if (i in cams_a and j in cams_b) or (i in cams_b and j in cams_a):
+                    n_orient += 1
+            self._last_merge_fail = (
+                f"no_3d3d_pairs(cut_edges={n_cut}, split_across={n_orient})"
+            )
             return None
         merged, mm = merge_children(
             data_a, data_b,
@@ -169,6 +256,8 @@ class HierarchicalReconstruction:
             self.options.merge, meta=meta,
         )
         if merged is None:
+            self._last_merge_fail = "sim3_failed(pairs=%d inl=%d)" % (
+                len(pa), int(mm.get("sim3_inliers", 0)))
             return None
         # rebuild the (image, kp) -> track map for the merged scene; only
         # Sim3-inlier pairs were actually fused by merge_children, so map

@@ -26,6 +26,7 @@ from gtsfm_tpu.averaging.translation.averaging import (
     TranslationAveragingOptions,
 )
 from gtsfm_tpu.bundle.ba import BAOptions, BundleAdjustment
+from gtsfm_tpu.utils.numerics import ceil_pow2
 from gtsfm_tpu.bundle.triangulation import TriangulationMode, triangulate_tracks
 from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
 from gtsfm_tpu.geometry import SE3
@@ -136,6 +137,23 @@ class MultiViewOptimizer:
         metrics["num_tracks_2d"] = int((track_mask.sum(1) >= 2).sum())
         metrics["dsf_sec"] = time.perf_counter() - t0
 
+        # pow2-bucket the data-dependent track axis so triangulation/BA
+        # executables are shared across clusters (hierarchical runs invoke
+        # this per leaf with different track counts)
+        T_raw = track_cam.shape[0]
+        T_pad = ceil_pow2(T_raw, 16)
+        if T_pad != T_raw:
+            padn = T_pad - T_raw
+
+            def _padT(a, fill=0):
+                out = np.full((padn,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, out])
+
+            track_cam = _padT(track_cam)
+            track_kp = _padT(track_kp)
+            track_uv = _padT(track_uv)
+            track_mask = _padT(track_mask)
+
         # --- translation averaging ---------------------------------------
         t0 = time.perf_counter()
         ta = TranslationAveraging(opts.translation)
@@ -150,9 +168,27 @@ class MultiViewOptimizer:
                 track_cam, track_mask, num_images, opts.ta_tracks_per_camera
             )
             if len(sel) >= 3:
-                track_dirs = camera_track_directions(
+                cams_d, nodes_d, dirs_d = camera_track_directions(
                     wRi, cal, track_cam, track_uv, track_mask, sel
                 )
+                # pad the direction-augmentation axis to pow2 with
+                # weight-0 entries anchored to a sentinel node so the TA
+                # solve shape is bucket-stable across clusters
+                S_pad = ceil_pow2(len(sel), 8)
+                A_raw = len(cams_d)
+                A_pad = ceil_pow2(A_raw + 1, 8)
+                padn = A_pad - A_raw
+                cams_d = np.concatenate([cams_d, np.zeros(padn, np.int32)])
+                nodes_d = np.concatenate(
+                    [nodes_d, np.full(padn, S_pad - 1, np.int32)]
+                )
+                dirs_d = np.concatenate(
+                    [dirs_d, np.tile(np.float32([[0, 0, 1]]), (padn, 1))]
+                )
+                wts_d = np.concatenate(
+                    [np.ones(A_raw, np.float32), np.zeros(padn, np.float32)]
+                )
+                track_dirs = (cams_d, nodes_d, dirs_d, wts_d)
         wti, trans_valid, ta_inlier_mask = ta.run(
             num_images, pairs[edge_mask], np.asarray(i2Ui1)[edge_mask], wRi,
             seed=opts.seed, track_dirs=track_dirs,
@@ -194,14 +230,17 @@ class MultiViewOptimizer:
         meas_kp = track_kp[obs_t, obs_k].astype(np.int32)
         meas_uv = track_uv[obs_t, obs_k]
         meas_track = obs_t.astype(np.int32)
-        meas_mask = np.ones(len(obs_t), bool)
-        if len(obs_t) == 0:
-            # pad all measurement arrays together to length 1 (mask=False) so
-            # SfmData's equal-length invariant holds for downstream segment ops
-            meas_cam = np.zeros(1, np.int32)
-            meas_track = np.zeros(1, np.int32)
-            meas_uv = np.zeros((1, 2), np.float32)
-            meas_mask = np.zeros(1, bool)
+        M_raw = len(obs_t)
+        # pow2-bucket the measurement axis (see track padding above) —
+        # padding rows carry meas_mask False and contribute exact zeros
+        M_pad = ceil_pow2(M_raw, 16)
+        padn = M_pad - M_raw
+        meas_cam = np.concatenate([meas_cam, np.zeros(padn, np.int32)])
+        meas_track = np.concatenate([meas_track, np.zeros(padn, np.int32)])
+        meas_uv = np.concatenate(
+            [meas_uv.astype(np.float32), np.zeros((padn, 2), np.float32)]
+        )
+        meas_mask = np.concatenate([np.ones(M_raw, bool), np.zeros(padn, bool)])
         data = SfmData(
             poses=poses,
             cal=cal,
@@ -221,7 +260,7 @@ class MultiViewOptimizer:
         t0 = time.perf_counter()
         ba = BundleAdjustment(opts.ba, mesh=self.mesh)
         # gauge: freeze the two estimated cameras with most measurements
-        counts = np.bincount(meas_cam, minlength=num_images) * cam_valid
+        counts = np.bincount(meas_cam[meas_mask], minlength=num_images) * cam_valid
         anchors = np.argsort(-counts)[:1]
         fixed = np.zeros(num_images, bool)
         fixed[anchors] = True
@@ -245,8 +284,8 @@ class MultiViewOptimizer:
         # aux arrays for hierarchical merging: per-measurement keypoint ids
         # let (image, keypoint) -> track lookups across clusters
         metrics["aux"] = {
-            "meas_kp": meas_kp,
-            "meas_cam": np.asarray(meas_cam),
+            "meas_kp": meas_kp,  # (M_raw,) unpadded
+            "meas_cam": np.asarray(meas_cam[:M_raw]),
             "meas_track": np.asarray(obs_t.astype(np.int32)),
         }
         return data, metrics

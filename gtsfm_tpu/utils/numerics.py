@@ -179,3 +179,12 @@ def nullvec_pinned_scalarized(AtA: jnp.ndarray) -> jnp.ndarray:
     y = jnp.stack([M[i][m] for i in range(m)], axis=-1)
     e = jnp.concatenate([y, jnp.ones(y.shape[:-1] + (1,), y.dtype)], axis=-1)
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-20)
+
+
+def ceil_pow2(n: int, floor: int = 1) -> int:
+    """Next power of two >= max(n, floor). Shape-bucketing helper: padding
+    data-dependent axes to pow2 buckets lets XLA reuse one compiled
+    executable across the many differently-sized clusters of a
+    hierarchical reconstruction instead of recompiling per leaf."""
+    n = max(int(n), int(floor))
+    return 1 << (n - 1).bit_length()

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 # any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache: re-runs of the suite replay executables
+# from disk instead of recompiling every jit stage (minutes saved per run)
+from gtsfm_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import pytest  # noqa: E402
 
 
