@@ -223,7 +223,7 @@ def main():
             "two_view_tflops_per_sec": round(tflops, 3),
             "two_view_mfu_pct_of_bf16_peak": round(mfu_pct, 3),
             "ba_lm_iters_per_sec": round(ba_iters_per_sec, 2),
-            "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, 40 CG/LM",
+            "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
             "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
             "door_e2e_wall_clock_sec": None if door_sec is None else round(door_sec, 1),
             "door_vs_baseline": None if door_sec is None else round(baseline_door / door_sec, 2),

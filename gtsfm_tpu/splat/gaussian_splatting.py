@@ -22,7 +22,7 @@ import optax
 from gtsfm_tpu.common.sfm_data import SfmData
 from gtsfm_tpu.geometry import SE3
 from gtsfm_tpu.splat.gs_data import GSData
-from gtsfm_tpu.splat.rendering import render
+from gtsfm_tpu.splat.rendering import render, render_tiled
 
 
 class GSTrainOptions(NamedTuple):
@@ -38,6 +38,11 @@ class GSTrainOptions(NamedTuple):
     densify_grad_threshold: float = 5e-4
     max_gaussians: int = 50_000
     chunk: int = 256
+    # tile-binned rasterizer (gsplat algorithm): ~100x less math per
+    # image once gaussian count >> per-tile density; the brute path is
+    # kept for tiny scenes / exact references
+    use_tiled: bool = True
+    per_tile_cap: int = 512
 
 
 def _ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 7) -> jnp.ndarray:
@@ -117,7 +122,15 @@ class GaussianSplatting:
             def loss_fn(p):
                 g = GSData(alive=alive, **p)
                 wTc = SE3(R=poses.R[cam_idx], t=poses.t[cam_idx])
-                img, _ = render(g, wTc, jnp.asarray(Ks)[cam_idx], H, W, chunk=opts.chunk)
+                if opts.use_tiled:
+                    img, _ = render_tiled(
+                        g, wTc, jnp.asarray(Ks)[cam_idx], H, W,
+                        per_tile_cap=opts.per_tile_cap,
+                    )
+                else:
+                    img, _ = render(
+                        g, wTc, jnp.asarray(Ks)[cam_idx], H, W, chunk=opts.chunk
+                    )
                 l1 = jnp.mean(jnp.abs(img - target))
                 ssim = _ssim(img, target)
                 return (1 - opts.ssim_lambda) * l1 + opts.ssim_lambda * (1 - ssim), l1

@@ -144,6 +144,171 @@ def render(
     return color, 1.0 - T
 
 
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "per_tile_cap", "max_dup"),
+)
+def render_tiled(
+    gs: GSData,
+    wTc: SE3,
+    K: jnp.ndarray,
+    height: int,
+    width: int,
+    bg: float = 0.0,
+    tile: int = 16,
+    per_tile_cap: int = 512,
+    max_dup: int = 16,
+):
+    """Tile-binned rasterization — the gsplat algorithm, XLA-native.
+
+    Parity: /root/reference/gtsfm/splat/rendering.py:14 (gsplat CUDA
+    tile rasterizer). render() evaluates every gaussian at every pixel
+    (O(H*W*G)); this builds per-tile gaussian lists so each 16x16 tile
+    composites only the gaussians whose 3-sigma bbox overlaps it —
+    ~100-1000x less math at 100k-1M gaussians. TPU mapping:
+
+      * binning = ONE device-wide sort of (tile_id, depth-rank) packed
+        int32 keys over G*max_dup duplicated entries (no atomics/scatter:
+        the CUDA kernel's per-tile atomic lists become a sort + two
+        searchsorted boundary lookups);
+      * each tile takes its first per_tile_cap gaussians front-to-back
+        (the CUDA kernel's early saturation termination becomes a static
+        cap — farther gaussians behind an almost-opaque prefix);
+      * compositing is a lax.scan over capacity chunks of a dense
+        (n_tiles, chunk, tile*tile) tensor — tiles ride the batch axis,
+        the 256 tile pixels ride the lanes.
+
+    Constraints (asserted): G <= 2^20 and tiles <= 2^11 so the sort key
+    packs into int32 (x64 is disabled under jit).
+    """
+    th = tw = tile
+    ny = (height + th - 1) // th
+    nx = (width + tw - 1) // tw
+    n_tiles = ny * nx
+    G = gs.max_gaussians
+    assert G <= (1 << 20), "render_tiled: G must fit 20-bit rank"
+    # 2047 is reserved: invalid duplicate slots carry key int32-max, whose
+    # high bits decode to tile 2047 and sort after every real tile
+    assert n_tiles < 2047, "render_tiled: tile grid must fit 11 bits"
+
+    xy, cov2d, z, alpha, rgb = project_gaussians(gs, wTc, K)
+    visible = (z > 0.01) & (alpha > 1e-4)
+
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
+    det = jnp.maximum(det, 1e-9)
+    inv00 = cov2d[:, 1, 1] / det
+    inv01 = -cov2d[:, 0, 1] / det
+    inv11 = cov2d[:, 0, 0] / det
+    # 4-sigma radius from the major eigenvalue (matches the q < 16
+    # evaluation cutoff so binning never drops an evaluated pixel)
+    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = 4.0 * jnp.sqrt(jnp.maximum(lam1, 0.0))
+
+    # tile bbox per gaussian (clamped); duplicate over <= max_dup slots
+    side = int(max_dup**0.5)
+    assert side * side == max_dup, "max_dup must be a square"
+    tx0 = jnp.clip(jnp.floor((xy[:, 0] - radius) / tw), 0, nx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((xy[:, 0] + radius) / tw), 0, nx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((xy[:, 1] - radius) / th), 0, ny - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((xy[:, 1] + radius) / th), 0, ny - 1).astype(jnp.int32)
+    # gaussians overflowing the dup budget keep the window CENTERED on
+    # their center tile (where alpha is largest); only the far halo of an
+    # oversized footprint is dropped
+    tcx = jnp.clip(jnp.floor(xy[:, 0] / tw), 0, nx - 1).astype(jnp.int32)
+    tcy = jnp.clip(jnp.floor(xy[:, 1] / th), 0, ny - 1).astype(jnp.int32)
+    wx0 = jnp.clip(tcx - (side - 1) // 2, tx0, jnp.maximum(tx1 - side + 1, tx0))
+    wy0 = jnp.clip(tcy - (side - 1) // 2, ty0, jnp.maximum(ty1 - side + 1, ty0))
+    dxs = jnp.arange(side, dtype=jnp.int32)
+    gx = wx0[:, None] + dxs[None, :]  # (G, side)
+    gy = wy0[:, None] + dxs[None, :]
+    in_x = gx <= tx1[:, None]
+    in_y = gy <= ty1[:, None]
+    tile_x = jnp.broadcast_to(gx[:, None, :], (G, side, side))
+    tile_y = jnp.broadcast_to(gy[:, :, None], (G, side, side))
+    dup_ok = jnp.broadcast_to(in_x[:, None, :], (G, side, side)) & jnp.broadcast_to(
+        in_y[:, :, None], (G, side, side)
+    )
+    tile_id = (tile_y * nx + tile_x).reshape(G, max_dup)
+    dup_ok = (dup_ok.reshape(G, max_dup) & visible[:, None])
+
+    # depth rank (front first) shared by all duplicates of a gaussian
+    order = jnp.argsort(jnp.where(visible, z, jnp.inf))
+    rank = jnp.zeros(G, jnp.int32).at[order].set(jnp.arange(G, dtype=jnp.int32))
+    key = jnp.where(
+        dup_ok, tile_id * (1 << 20) + rank[:, None], jnp.iinfo(jnp.int32).max
+    ).reshape(-1)
+    sorted_idx = jnp.argsort(key)
+    sorted_key = key[sorted_idx]
+    sorted_gauss = (sorted_idx // max_dup).astype(jnp.int32)
+    sorted_tile = sorted_key >> 20  # invalid entries land at 2^11+
+
+    # per-tile segment [st, en) in the sorted order
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    st = jnp.searchsorted(sorted_tile, tids, side="left")
+    en = jnp.searchsorted(sorted_tile, tids, side="right")
+    slot = st[:, None] + jnp.arange(per_tile_cap, dtype=jnp.int32)[None, :]
+    slot_ok = slot < en[:, None]
+    slot = jnp.minimum(slot, G * max_dup - 1)
+    gidx = sorted_gauss[slot]  # (n_tiles, cap)
+
+    # gather per-tile gaussian attributes (n_tiles, cap)
+    t_xy = xy[gidx]
+    t_a = jnp.where(slot_ok, alpha[gidx], 0.0)
+    t_rgb = rgb[gidx]
+    t_i00 = inv00[gidx]
+    t_i01 = inv01[gidx]
+    t_i11 = inv11[gidx]
+
+    # tile-local pixel coordinates (n_tiles, tile*tile)
+    py, px = jnp.meshgrid(
+        jnp.arange(th, dtype=jnp.float32), jnp.arange(tw, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ox = (tids % nx).astype(jnp.float32) * tw
+    oy = (tids // nx).astype(jnp.float32) * th
+    pix_x = ox[:, None] + px.reshape(-1)[None, :]  # (n_tiles, P)
+    pix_y = oy[:, None] + py.reshape(-1)[None, :]
+
+    chunk = min(64, per_tile_cap)
+    n_chunks = per_tile_cap // chunk
+
+    def body(carry, c_idx):
+        T, color = carry  # T (n_tiles, P); color (n_tiles, P, 3)
+        s = c_idx * chunk
+        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, s, chunk, axis=1)
+        dx = pix_x[:, None, :] - sl(t_xy[..., 0])[..., None]  # (n_tiles, chunk, P)
+        dy = pix_y[:, None, :] - sl(t_xy[..., 1])[..., None]
+        q = (
+            sl(t_i00)[..., None] * dx * dx
+            + 2.0 * sl(t_i01)[..., None] * dx * dy
+            + sl(t_i11)[..., None] * dy * dy
+        )
+        g_alpha = jnp.minimum(sl(t_a)[..., None] * jnp.exp(-0.5 * q), 0.995)
+        g_alpha = jnp.where(q < 16.0, g_alpha, 0.0)
+        one_m = 1.0 - g_alpha
+        cum = jnp.cumprod(one_m, axis=1)  # over the chunk (front-to-back)
+        prefix = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        w = g_alpha * prefix  # (n_tiles, chunk, P)
+        color = color + T[:, :, None] * jnp.einsum(
+            "tcp,tcd->tpd", w, sl(t_rgb)
+        )
+        T = T * cum[:, -1]
+        return (T, color), None
+
+    P = th * tw
+    T0 = jnp.ones((n_tiles, P))
+    C0 = jnp.zeros((n_tiles, P, 3))
+    (T, color), _ = jax.lax.scan(body, (T0, C0), jnp.arange(n_chunks))
+    color = color + T[..., None] * bg
+
+    img = color.reshape(ny, nx, th, tw, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(ny * th, nx * tw, 3)[:height, :width]
+    am = (1.0 - T).reshape(ny, nx, th, tw).transpose(0, 2, 1, 3)
+    am = am.reshape(ny * th, nx * tw)[:height, :width]
+    return img, am
+
+
 def bspline_camera_path(wTi: SE3, num_frames: int) -> SE3:
     """Smooth interpolated camera path through the given poses (uniform
     Catmull-Rom on centers + slerp-ish rotation blending).
