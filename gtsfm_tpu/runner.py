@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_root", default="results")
     p.add_argument("--run_mvs", action="store_true", help="dense plane-sweep MVS")
     p.add_argument("--run_gs", action="store_true", help="gaussian splatting")
+    p.add_argument("--gs_video_frames", type=int, default=0,
+                   help="render an interpolated camera-path PNG sequence of the splats")
     p.add_argument("--hierarchical", action="store_true", help="partitioned reconstruction")
     p.add_argument(
         "--cluster_optimizer", default=None,
@@ -161,6 +163,8 @@ def main(argv=None) -> int:
         so_cfg["run_mvs"] = True
     if args.run_gs:
         so_cfg["run_gs"] = True
+    if args.gs_video_frames:
+        so_cfg["gs_video_frames"] = args.gs_video_frames
     if args.hierarchical:
         so_cfg["hierarchical"] = True
     if args.cluster_optimizer:

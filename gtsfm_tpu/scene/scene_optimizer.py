@@ -60,6 +60,10 @@ class SceneOptimizerOptions(NamedTuple):
     run_mvs: bool = False
     run_gs: bool = False
     gs_iterations: int = 800
+    # interpolated camera-path fly-through of the trained splats, written
+    # as a PNG frame sequence (reference renders an mp4 via gsplat+ffmpeg,
+    # splat/rendering.py:102-197; the frame sequence is codec-free)
+    gs_video_frames: int = 0
     mvs_num_depths: int = 64
     mvs_num_source_views: int = 4
     # per-cluster reconstruction engine: mvo (classic front-end + back-end)
@@ -441,8 +445,42 @@ class SceneOptimizer:
                 from gtsfm_tpu.splat.gs_data import export_ply
 
                 export_ply(gs_result, os.path.join(results_dir, "splats.ply"))
+                if opts.gs_video_frames > 0:
+                    self._export_splat_video(
+                        gs_result, data, results_dir, opts.gs_video_frames
+                    )
 
         return data, metrics_groups
+
+    # ------------------------------------------------------------------
+    def _export_splat_video(self, gs_result, data, results_dir: str, n_frames: int):
+        """Render a smooth camera-path fly-through of the splats to
+        results/splat_video/frame_%04d.png (B-spline over the estimated
+        poses; reference parity: splat/rendering.py:102-197)."""
+        import numpy as np
+
+        from gtsfm_tpu.geometry import SE3
+        from gtsfm_tpu.splat.rendering import bspline_camera_path, render_tiled
+
+        est = np.flatnonzero(np.asarray(data.pose_mask))
+        if len(est) < 2:
+            return
+        poses = SE3(R=data.poses.R[est], t=data.poses.t[est])
+        path = bspline_camera_path(poses, n_frames)
+        K = np.asarray(data.cal.K())[est[0]]
+        H = int(round(float(K[1, 2]) * 2)) or 480
+        W = int(round(float(K[0, 2]) * 2)) or 640
+        out_dir = os.path.join(results_dir, "splat_video")
+        os.makedirs(out_dir, exist_ok=True)
+        for f in range(n_frames):
+            wTc = SE3(R=path.R[f], t=path.t[f])
+            img, _ = render_tiled(gs_result, wTc, jnp.asarray(K), H, W)
+            arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+            from PIL import Image as _PILImage
+
+            _PILImage.fromarray(arr).save(
+                os.path.join(out_dir, f"frame_{f:04d}.png")
+            )
 
     # ------------------------------------------------------------------
     def _global_descriptor(self):

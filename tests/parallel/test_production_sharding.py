@@ -122,3 +122,38 @@ def test_ba_mesh_pads_uneven_measurements(devices8):
     out_plain, m_plain = BundleAdjustment(opts).run(data, fixed_cam=fixed)
     out_mesh, m_mesh = BundleAdjustment(opts, mesh=mesh).run(data, fixed_cam=fixed)
     np.testing.assert_allclose(m_mesh["final_cost"], m_plain["final_cost"], rtol=1e-4)
+
+
+def test_maybe_init_distributed_wiring(monkeypatch):
+    """maybe_init_distributed forwards the CLI coordinator args into
+    jax.distributed.initialize and is a no-op when not configured
+    (multi-host DCN bring-up, reference runner.py:337-345; execution on
+    real multi-host deferred until >1 host exists)."""
+    import argparse
+
+    import jax
+
+    from gtsfm_tpu.runner import maybe_init_distributed
+
+    ns = argparse.Namespace(
+        distributed_coordinator=None,
+        distributed_num_processes=None,
+        distributed_process_id=None,
+    )
+    assert maybe_init_distributed(ns) is False
+
+    calls = {}
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.update(
+            addr=coordinator_address, n=num_processes, pid=process_id
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    ns = argparse.Namespace(
+        distributed_coordinator="10.0.0.1:8476",
+        distributed_num_processes=4,
+        distributed_process_id=2,
+    )
+    assert maybe_init_distributed(ns) is True
+    assert calls == {"addr": "10.0.0.1:8476", "n": 4, "pid": 2}
