@@ -1358,7 +1358,17 @@ class BundleAdjustment:
                 prior_kwargs["prior_weight"]
             )[jp] * (jnp.arange(n_loc) < len(act_idx))
 
-        out_l, metrics = self.run(local, fixed_cam=fixed_local, **prior_kwargs)
+        # layout by problem size and backend: the dense-Schur camera
+        # contraction scales as N^2 * T — MXU-trivial to ~1k cameras but
+        # heavy on CPU test hosts; large-N solves use the iterative paths
+        opts_c = self.options
+        if opts_c.layout == "dense":
+            if jax.default_backend() == "cpu" and len(act_idx) > 96:
+                opts_c = opts_c._replace(layout="scatter")
+            elif len(act_idx) > 1024:
+                opts_c = opts_c._replace(layout="entry")
+        solver = self if opts_c is self.options else BundleAdjustment(opts_c, mesh=self.mesh)
+        out_l, metrics = solver.run(local, fixed_cam=fixed_local, **prior_kwargs)
 
         ai = jnp.asarray(act_idx)
         nl = len(act_idx)

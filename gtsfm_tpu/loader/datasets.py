@@ -1,8 +1,9 @@
 """Additional dataset loaders.
 
 Parity: /root/reference/gtsfm/loader/ — AstrovisionLoader (258),
-TanksAndTemplesLoader (373), MobilebrickLoader (176), OneDSFMLoader (128).
-(HiltiLoader's 5-camera rig depends on rig between-factors — next round.)
+TanksAndTemplesLoader (373), MobilebrickLoader (176), OneDSFMLoader (128),
+ArgoverseDatasetLoader (168), YfccImbLoader (181). The 5-camera Hilti rig
+loader lives in loader/hilti.py (rig between-factors in bundle/ba.py).
 """
 
 from __future__ import annotations
