@@ -204,12 +204,49 @@ def _door_bench():
     return dt
 
 
+def _deep_matcher_bench():
+    """On-device LightGlue throughput at K=1024 (the BASELINE.md deep
+    front-end metric: SuperPoint+LightGlue pair matching). Timed with a
+    fori_loop iterating the full 9-layer forward + assignment on-device —
+    per-call host transfers would otherwise dominate over the axon tunnel
+    and understate device throughput ~100x."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.frontend.matchers.lightglue import LightGlueNet, LightGlueOptions
+
+    rng = np.random.default_rng(0)
+    net = LightGlueNet(LightGlueOptions())
+    K, P, REP = 1024, 8, 50
+    d0 = jnp.asarray(rng.normal(size=(K, 256)).astype(np.float32))
+    c0 = jnp.asarray(rng.uniform(-1, 1, (K, 2)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), d0, d0, c0, c0)
+    d0b = jnp.asarray(rng.normal(size=(P, K, 256)).astype(np.float32))
+    c0b = jnp.asarray(rng.uniform(-1, 1, (P, K, 2)).astype(np.float32))
+    vnet = jax.vmap(lambda a, b, c, d: net.apply(params, a, b, c, d))
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            z, _, _ = vnet(x + 1e-9 * acc, d0b, c0b, c0b)
+            return acc + jnp.sum(z[:, -1, :])
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0.0))
+
+    float(run(d0b))  # compile
+    t0 = time.perf_counter()
+    float(run(d0b))
+    dt = (time.perf_counter() - t0) / REP
+    # ~105 GFLOP per pair forward (9 layers, K=1024, d=256, 4 heads)
+    return P / dt, 105e9 * P / dt / 1e12
+
+
 def main():
     from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
 
     pairs_per_sec, tflops, mfu_pct = _two_view_bench()
+    lg_pairs_per_sec, lg_tflops = _deep_matcher_bench()
     ba_iters_per_sec, ba_meas = _ba_bench()
     door_sec = _door_bench()
 
@@ -222,6 +259,8 @@ def main():
         "extra": {
             "two_view_tflops_per_sec": round(tflops, 3),
             "two_view_mfu_pct_of_bf16_peak": round(mfu_pct, 3),
+            "lightglue_pairs_per_sec": round(lg_pairs_per_sec, 1),
+            "lightglue_tflops_per_sec": round(lg_tflops, 2),
             "ba_lm_iters_per_sec": round(ba_iters_per_sec, 2),
             "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
             "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
