@@ -166,6 +166,20 @@ def build_matcher(cfg: Optional[dict]):
 
             params, opts = load_torch_weights(weights_path, opts)
         return LightGlueMatcher(opts, params=params, example_dim=example_dim)
+    if name == "superglue":
+        from gtsfm_tpu.frontend.matchers.superglue import (
+            SuperGlueMatcher,
+            SuperGlueOptions,
+        )
+
+        weights_path = cfg.pop("weights_path", None)
+        opts = SuperGlueOptions(**cfg)
+        params = None
+        if weights_path is not None:
+            from gtsfm_tpu.frontend.matchers.superglue import load_torch_weights
+
+            params = load_torch_weights(weights_path, opts)["params"]
+        return SuperGlueMatcher(opts, params=params)
     raise ValueError(f"Unknown matcher: {name!r}")
 
 

@@ -46,6 +46,12 @@ CHECKPOINTS = {
         "gtsfm_tpu.frontend.matchers.lightglue",
         "CVG LightGlue for SuperPoint descriptors",
     ),
+    "superglue_outdoor": (
+        "https://github.com/magicleap/SuperGluePretrainedNetwork/raw/master/"
+        "models/weights/superglue_outdoor.pth",
+        "gtsfm_tpu.frontend.matchers.superglue",
+        "MagicLeap SuperGlue outdoor (non-commercial license)",
+    ),
     "d2net": (
         "https://dusmanu.com/files/d2-net/d2_tf.pth",
         "gtsfm_tpu.frontend.detectors.d2net",

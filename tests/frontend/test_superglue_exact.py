@@ -1,0 +1,224 @@
+"""Exactness of the Flax SuperGlue port against a torch reference.
+
+Methodology (same as test_lightglue_exact): build the official SuperGlue
+architecture in torch with RANDOM weights, export its state_dict through
+convert_torch_state_dict, and require the Flax forward to match the torch
+forward numerically. Validates the converter + layout so the real public
+superglue_{indoor,outdoor}.pth loads correctly in egress-enabled
+environments.
+"""
+
+from copy import deepcopy
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+from gtsfm_tpu.frontend.matchers.superglue import (  # noqa: E402
+    SuperGlueMatcher,
+    SuperGlueNet,
+    SuperGlueOptions,
+    convert_torch_state_dict,
+    normalize_keypoints_sg,
+)
+
+# ---------------------------------------------------------------------------
+# torch reference (official SuperGlue architecture, random weights)
+# ---------------------------------------------------------------------------
+
+
+def MLP(channels, do_bn=True):
+    n = len(channels)
+    layers = []
+    for i in range(1, n):
+        layers.append(nn.Conv1d(channels[i - 1], channels[i], kernel_size=1, bias=True))
+        if i < (n - 1):
+            if do_bn:
+                layers.append(nn.BatchNorm1d(channels[i]))
+            layers.append(nn.ReLU())
+    return nn.Sequential(*layers)
+
+
+class TorchKeypointEncoder(nn.Module):
+    def __init__(self, feature_dim, layers):
+        super().__init__()
+        self.encoder = MLP([3] + list(layers) + [feature_dim])
+
+    def forward(self, kpts, scores):
+        inputs = [kpts.transpose(1, 2), scores.unsqueeze(1)]
+        return self.encoder(torch.cat(inputs, dim=1))
+
+
+def attention(query, key, value):
+    dim = query.shape[1]
+    scores = torch.einsum("bdhn,bdhm->bhnm", query, key) / dim**0.5
+    prob = torch.nn.functional.softmax(scores, dim=-1)
+    return torch.einsum("bhnm,bdhm->bdhn", prob, value)
+
+
+class TorchMHA(nn.Module):
+    def __init__(self, num_heads, d_model):
+        super().__init__()
+        self.dim = d_model // num_heads
+        self.num_heads = num_heads
+        self.merge = nn.Conv1d(d_model, d_model, kernel_size=1)
+        self.proj = nn.ModuleList([deepcopy(self.merge) for _ in range(3)])
+
+    def forward(self, query, key, value):
+        b = query.size(0)
+        query, key, value = [
+            l(x).view(b, self.dim, self.num_heads, -1)
+            for l, x in zip(self.proj, (query, key, value))
+        ]
+        x = attention(query, key, value)
+        return self.merge(x.contiguous().view(b, self.dim * self.num_heads, -1))
+
+
+class TorchAttentionalPropagation(nn.Module):
+    def __init__(self, feature_dim, num_heads):
+        super().__init__()
+        self.attn = TorchMHA(num_heads, feature_dim)
+        self.mlp = MLP([feature_dim * 2, feature_dim * 2, feature_dim])
+
+    def forward(self, x, source):
+        message = self.attn(x, source, source)
+        return self.mlp(torch.cat([x, message], dim=1))
+
+
+class TorchGNN(nn.Module):
+    def __init__(self, feature_dim, layer_names):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [TorchAttentionalPropagation(feature_dim, 4) for _ in layer_names]
+        )
+        self.names = layer_names
+
+    def forward(self, d0, d1):
+        for layer, name in zip(self.layers, self.names):
+            if name == "cross":
+                s0, s1 = d1, d0
+            else:
+                s0, s1 = d0, d1
+            d0 = d0 + layer(d0, s0)
+            d1 = d1 + layer(d1, s1)
+        return d0, d1
+
+
+def log_sinkhorn_iterations(Z, log_mu, log_nu, iters):
+    u, v = torch.zeros_like(log_mu), torch.zeros_like(log_nu)
+    for _ in range(iters):
+        u = log_mu - torch.logsumexp(Z + v.unsqueeze(1), dim=2)
+        v = log_nu - torch.logsumexp(Z + u.unsqueeze(2), dim=1)
+    return Z + u.unsqueeze(2) + v.unsqueeze(1)
+
+
+def log_optimal_transport_torch(scores, alpha, iters):
+    b, m, n = scores.shape
+    one = scores.new_tensor(1)
+    ms, ns = (m * one).to(scores), (n * one).to(scores)
+    bins0 = alpha.expand(b, m, 1)
+    bins1 = alpha.expand(b, 1, n)
+    alpha_e = alpha.expand(b, 1, 1)
+    couplings = torch.cat(
+        [torch.cat([scores, bins0], -1), torch.cat([bins1, alpha_e], -1)], 1
+    )
+    norm = -(ms + ns).log()
+    log_mu = torch.cat([norm.expand(m), ns.log()[None] + norm])
+    log_nu = torch.cat([norm.expand(n), ms.log()[None] + norm])
+    log_mu, log_nu = log_mu[None].expand(b, -1), log_nu[None].expand(b, -1)
+    Z = log_sinkhorn_iterations(couplings, log_mu, log_nu, iters)
+    return Z - norm
+
+
+class TorchSuperGlue(nn.Module):
+    def __init__(self, opts: SuperGlueOptions):
+        super().__init__()
+        self.opts = opts
+        self.kenc = TorchKeypointEncoder(opts.dim, list(opts.encoder_layers))
+        self.gnn = TorchGNN(opts.dim, ["self", "cross"] * opts.num_layers)
+        self.final_proj = nn.Conv1d(opts.dim, opts.dim, kernel_size=1, bias=True)
+        self.bin_score = nn.Parameter(torch.tensor(1.0))
+
+    def forward(self, d0, d1, k0, k1, s0, s1):
+        # d: (1, 256, K) channel-major; k: (1, K, 2) pre-normalized
+        d0 = d0 + self.kenc(k0, s0)
+        d1 = d1 + self.kenc(k1, s1)
+        d0, d1 = self.gnn(d0, d1)
+        m0, m1 = self.final_proj(d0), self.final_proj(d1)
+        scores = torch.einsum("bdn,bdm->bnm", m0, m1) / self.opts.dim**0.5
+        return log_optimal_transport_torch(
+            scores, self.bin_score, self.opts.sinkhorn_iterations
+        )
+
+
+def _rename_state_dict(sd):
+    """Torch reference module names -> official checkpoint key names."""
+    out = {}
+    for k, v in sd.items():
+        out[k] = v
+    return out
+
+
+def test_superglue_exact_forward():
+    torch.manual_seed(0)
+    opts = SuperGlueOptions(sinkhorn_iterations=20)
+    tmodel = TorchSuperGlue(opts).eval()
+    # randomize BN running stats so folding is actually exercised
+    for mod in tmodel.modules():
+        if isinstance(mod, nn.BatchNorm1d):
+            mod.running_mean.uniform_(-0.5, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+
+    K0, K1 = 96, 80
+    rng = np.random.default_rng(0)
+    d0 = rng.normal(size=(1, 256, K0)).astype(np.float32)
+    d1 = rng.normal(size=(1, 256, K1)).astype(np.float32)
+    k0 = rng.uniform(0, 640, (1, K0, 2)).astype(np.float32)
+    k1 = rng.uniform(0, 640, (1, K1, 2)).astype(np.float32)
+    s0 = rng.uniform(0, 1, (1, K0)).astype(np.float32)
+    s1 = rng.uniform(0, 1, (1, K1)).astype(np.float32)
+    wh = (640.0, 480.0)
+
+    import jax.numpy as jnp
+
+    k0n = np.asarray(normalize_keypoints_sg(jnp.asarray(k0[0]), wh))[None]
+    k1n = np.asarray(normalize_keypoints_sg(jnp.asarray(k1[0]), wh))[None]
+    with torch.no_grad():
+        z_t = tmodel(
+            torch.from_numpy(d0), torch.from_numpy(d1),
+            torch.from_numpy(k0n), torch.from_numpy(k1n),
+            torch.from_numpy(s0), torch.from_numpy(s1),
+        ).numpy()[0]
+
+    variables = convert_torch_state_dict(_rename_state_dict(tmodel.state_dict()), opts)
+    net = SuperGlueNet(opts)
+    z_j = np.asarray(
+        net.apply(
+            variables,
+            jnp.asarray(d0[0].T), jnp.asarray(d1[0].T),
+            jnp.asarray(k0n[0]), jnp.asarray(k1n[0]),
+            jnp.asarray(s0[0]), jnp.asarray(s1[0]),
+        )
+    )
+    assert z_j.shape == (K0 + 1, K1 + 1)
+    err = np.abs(z_j - z_t).max()
+    assert err < 5e-3, f"max |dz| = {err}"
+
+
+def test_superglue_matcher_contract():
+    """Batched matcher returns the mutual_nn-style contract with masks."""
+    import jax.numpy as jnp
+
+    m = SuperGlueMatcher(SuperGlueOptions(sinkhorn_iterations=5))
+    P, K = 2, 64
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.normal(size=(P, K, 256)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(0, 640, (P, K, 2)).astype(np.float32))
+    mask = jnp.asarray(np.arange(K)[None, :] < np.array([K, 40])[:, None])
+    idx, ok, sc = m.match_batch(d, d, c, c, mask, mask, (640, 480))
+    assert idx.shape == (P, K) and ok.shape == (P, K) and sc.shape == (P, K)
+    # no match may point at a padded target slot in pair 1
+    tgt = np.asarray(idx[1][np.asarray(ok[1])])
+    assert (tgt < 40).all()
