@@ -203,6 +203,11 @@ class PlaneSweepMVS:
         self.options = options
 
     def run(self, data: SfmData, images: np.ndarray):
+        depths, confs = self.compute_depths(data, images)
+        return fuse_depth_maps(depths, confs, data, images, self.options)
+
+    def compute_depths(self, data: SfmData, images: np.ndarray):
+        """-> ({view: (H, W) depth}, {view: (H, W) confidence})."""
         opts = self.options
         n = data.max_cameras
         pose_mask = np.asarray(data.pose_mask)
@@ -234,8 +239,19 @@ class PlaneSweepMVS:
             )
             depths[i] = np.asarray(d)
             confs[i] = np.asarray(c)
+        return depths, confs
 
-        # geometric consistency filtering + fusion
+
+def fuse_depth_maps(depths, confs, data: SfmData, images: np.ndarray,
+                    opts: MVSOptions):
+    """Cross-view geometric consistency filtering + fusion into a world
+    point cloud (shared by the plane-sweep and PatchmatchNet back-ends)."""
+    if True:
+        Ks = np.asarray(data.cal.K())
+        Rs = np.asarray(data.poses.R)
+        ts = np.asarray(data.poses.t)
+        cTw_R = Rs.transpose(0, 2, 1)
+        cTw_t = -np.einsum("nij,nj->ni", cTw_R, ts)
         pts_out, col_out = [], []
         view_ids = sorted(depths.keys())
         for i in view_ids:
@@ -265,8 +281,8 @@ class PlaneSweepMVS:
                 inb = ok & (uvj[:, 0] >= 0) & (uvj[:, 0] < W) & (uvj[:, 1] >= 0) & (uvj[:, 1] < H)
                 dj = depths[j][yj, xj]
                 rel = np.abs(dj - zj) / np.maximum(zj, 1e-6)
-                consistent += (inb & (rel < self.options.max_depth_rel_err * 10)).astype(np.int32)
-            keep = consistent >= self.options.min_consistent_views - 1
+                consistent += (inb & (rel < opts.max_depth_rel_err * 10)).astype(np.int32)
+            keep = consistent >= opts.min_consistent_views - 1
             pts_out.append(X_world[keep])
             col_out.append(images[i][ys_s[keep], xs_s[keep]])
 

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_root", default="results")
     p.add_argument("--run_mvs", action="store_true", help="dense plane-sweep MVS")
     p.add_argument("--run_gs", action="store_true", help="gaussian splatting")
+    p.add_argument("--mvs_backend", default="plane_sweep",
+                   choices=["plane_sweep", "patchmatchnet"])
+    p.add_argument("--mvs_weights_path", default=None,
+                   help="converted PatchmatchNet checkpoint (fetch_and_verify_weights.py)")
     p.add_argument("--gs_video_frames", type=int, default=0,
                    help="render an interpolated camera-path PNG sequence of the splats")
     p.add_argument("--hierarchical", action="store_true", help="partitioned reconstruction")
@@ -165,6 +169,9 @@ def main(argv=None) -> int:
         so_cfg["run_gs"] = True
     if args.gs_video_frames:
         so_cfg["gs_video_frames"] = args.gs_video_frames
+    if args.mvs_backend != "plane_sweep":
+        so_cfg["mvs_backend"] = args.mvs_backend
+        so_cfg["mvs_weights_path"] = args.mvs_weights_path
     if args.hierarchical:
         so_cfg["hierarchical"] = True
     if args.cluster_optimizer:

@@ -66,6 +66,10 @@ class SceneOptimizerOptions(NamedTuple):
     gs_video_frames: int = 0
     mvs_num_depths: int = 64
     mvs_num_source_views: int = 4
+    # "plane_sweep" (weight-free) or "patchmatchnet" (learned; requires
+    # mvs_weights_path from scripts/fetch_and_verify_weights.py)
+    mvs_backend: str = "plane_sweep"
+    mvs_weights_path: Optional[str] = None
     # per-cluster reconstruction engine: mvo (classic front-end + back-end)
     # or a feed-forward model slot (cluster_optimizer/cluster_vggt.py:28-84,
     # cluster_fast_vggt.py, cluster_anysplat.py, configs/vggt.yaml parity)
@@ -389,10 +393,21 @@ class SceneOptimizer:
             from gtsfm_tpu.densify.mvs import MVSOptions, PlaneSweepMVS
 
             t0 = time.perf_counter()
-            mvs = PlaneSweepMVS(MVSOptions(
+            mvs_opts = MVSOptions(
                 num_depths=opts.mvs_num_depths,
                 num_source_views=opts.mvs_num_source_views,
-            ))
+            )
+            if opts.mvs_backend == "patchmatchnet":
+                from gtsfm_tpu.densify.patchmatchnet import (
+                    PatchmatchNetMVS,
+                    load_torch_weights,
+                )
+
+                mvs = PatchmatchNetMVS(
+                    mvs_opts, params=load_torch_weights(opts.mvs_weights_path)
+                )
+            else:
+                mvs = PlaneSweepMVS(mvs_opts)
             dense_points, dense_colors, mvs_metrics = mvs.run(data, images)
             mvs_metrics["mvs_sec"] = time.perf_counter() - t0
             metrics_groups.append(

@@ -63,6 +63,12 @@ CHECKPOINTS = {
         "gtsfm_tpu.frontend.detectors.disk",
         "DISK depth-supervised weights (kornia uses the same checkpoint)",
     ),
+    "patchmatchnet": (
+        "https://github.com/FangjinhuaWang/PatchmatchNet/raw/"
+        "fa4ecae69b3a376ce238002db8d5283406128eac/checkpoints/model_000007.ckpt",
+        "gtsfm_tpu.densify.patchmatchnet",
+        "PatchmatchNet DTU-trained checkpoint (the reference's pin)",
+    ),
     "netvlad": (
         "https://cvg-data.inf.ethz.ch/hloc/netvlad/Pitts30K_struct.mat",
         "gtsfm_tpu.frontend.global_descriptors.descriptors",
