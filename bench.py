@@ -240,6 +240,44 @@ def _deep_matcher_bench():
     return P / dt, 105e9 * P / dt / 1e12
 
 
+def _splat_bench():
+    """Tile-binned gaussian rasterizer: ms/frame at 100k gaussians,
+    540x960 (the gsplat-class headline; brute-force is ~110x slower)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.geometry import SE3
+    from gtsfm_tpu.splat.gs_data import GSData
+    from gtsfm_tpu.splat.rendering import render_tiled
+
+    rng = np.random.default_rng(0)
+    G, H, W = 100_000, 540, 960
+    means = rng.uniform(-4, 4, (G, 3)).astype(np.float32)
+    means[:, 2] += 10
+    gs = GSData(
+        means=jnp.asarray(means),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(0.005, 0.03, (G, 3))).astype(np.float32)
+        ),
+        quats=jnp.asarray(np.tile([1, 0, 0, 0.0], (G, 1)).astype(np.float32)),
+        colors=jnp.asarray(rng.normal(0, 1, (G, 3)).astype(np.float32)),
+        opacity_logit=jnp.asarray(rng.normal(0, 1, G).astype(np.float32)),
+        alive=jnp.ones(G, jnp.float32),
+    )
+    wTc = SE3.identity(())
+    K = jnp.asarray([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
+    img, _ = render_tiled(gs, wTc, K, H, W)
+    float(img.sum())
+    ts = []
+    for i in range(4):
+        g = gs.replace(opacity_logit=gs.opacity_logit + 1e-3 * i)
+        t0 = time.perf_counter()
+        img, _ = render_tiled(g, wTc, K, H, W)
+        float(img.sum())
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
 def main():
     from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -249,6 +287,7 @@ def main():
     lg_pairs_per_sec, lg_tflops = _deep_matcher_bench()
     ba_iters_per_sec, ba_meas = _ba_bench()
     door_sec = _door_bench()
+    splat_ms = _splat_bench()
 
     baseline_pairs, baseline_ba, baseline_door = 20.0, 10.0, 600.0
     out = {
@@ -264,6 +303,7 @@ def main():
             "ba_lm_iters_per_sec": round(ba_iters_per_sec, 2),
             "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
             "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
+            "splat_tiled_ms_per_frame_100k": round(splat_ms, 1),
             "door_e2e_wall_clock_sec": None if door_sec is None else round(door_sec, 1),
             "door_vs_baseline": None if door_sec is None else round(baseline_door / door_sec, 2),
             "baselines": "documented anchors, reference not runnable here (see module docstring)",
