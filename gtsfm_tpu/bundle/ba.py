@@ -1010,7 +1010,10 @@ def _extras_cost(prob: BAProblem, opts: BAOptions, extras) -> jnp.ndarray:
         from gtsfm_tpu.geometry import so3 as _so3
 
         dev = _so3.logmap(jnp.einsum("nij,nkj->nik", prob.poses.R, R0))
-        mean_dev = jnp.mean(dev, axis=0)
+        # free-masked mean, matching _karcher_dev (the solver's model) so
+        # the accept/reject cost and the step direction share one objective
+        freeN = (~prob.fixed_cam).astype(dev.dtype)[:, None]
+        mean_dev = jnp.sum(dev * freeN, axis=0) / jnp.maximum(jnp.sum(freeN), 1.0)
         c = c + 0.5 * opts.karcher_weight**2 * jnp.sum(mean_dev**2)
     return c
 
@@ -1298,7 +1301,7 @@ class BundleAdjustment:
         pad_idx = np.concatenate(
             [act_idx, np.full(n_loc - len(act_idx), act_idx[0], np.int64)]
         )
-        g2l = np.zeros(N, np.int64)
+        g2l = np.full(N, -1, np.int64)  # inactive cameras map nowhere
         g2l[act_idx] = np.arange(len(act_idx))
 
         T = data.max_tracks
@@ -1330,7 +1333,11 @@ class BundleAdjustment:
             cal=jax.tree.map(lambda a: jnp.asarray(a)[jp], data.cal),
             points=padT(data.points),
             track_mask=padT(data.track_mask, False),
-            meas_cam=padM(jnp.asarray(g2l, jnp.int32)[data.meas_cam]),
+            # masked measurements may reference inactive cameras (g2l -1):
+            # clamp them to slot 0 — their weight is zero either way
+            meas_cam=padM(
+                jnp.asarray(np.maximum(g2l, 0), jnp.int32)[data.meas_cam]
+            ),
             meas_track=padM(data.meas_track),
             meas_uv=padM(data.meas_uv),
             meas_mask=padM(data.meas_mask, False),
@@ -1346,9 +1353,17 @@ class BundleAdjustment:
             )
         if prior_kwargs.get("rel_edges") is not None:
             prior_kwargs = dict(prior_kwargs)
-            prior_kwargs["rel_edges"] = jnp.asarray(
-                g2l[np.asarray(prior_kwargs["rel_edges"])], jnp.int32
-            )
+            re_loc = g2l[np.asarray(prior_kwargs["rel_edges"])]
+            # drop (zero-weight) rig between-factors touching inactive
+            # cameras instead of silently re-anchoring them to slot 0
+            re_ok = np.all(re_loc >= 0, axis=1)
+            prior_kwargs["rel_edges"] = jnp.asarray(np.maximum(re_loc, 0), jnp.int32)
+            if prior_kwargs.get("rel_weight") is not None:
+                prior_kwargs["rel_weight"] = jnp.asarray(
+                    np.asarray(prior_kwargs["rel_weight"], np.float32) * re_ok
+                )
+            else:
+                prior_kwargs["rel_weight"] = jnp.asarray(re_ok, jnp.float32)
         if prior_kwargs.get("prior_pose") is not None:
             prior_kwargs = dict(prior_kwargs)
             prior_kwargs["prior_pose"] = jax.tree.map(

@@ -540,9 +540,9 @@ def convert_torch_state_dict(sd) -> dict:
 
 
 def load_torch_weights(path: str) -> dict:
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    ckpt = torch.load(path, map_location="cpu")
+    ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return convert_torch_state_dict(sd)
 

@@ -180,9 +180,9 @@ def load_torch_weights(path: str):
     torch conv weight (O, I, kh, kw) -> flax kernel (kh, kw, I, O).
     Accepts checkpoints that wrap the state_dict under a 'model' key.
     """
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     if isinstance(sd, dict) and "model" in sd and not any(
         k.startswith("dense_feature_extraction") for k in sd
     ):

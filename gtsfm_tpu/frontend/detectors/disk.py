@@ -203,9 +203,9 @@ class DISK:
 def load_torch_weights(path: str) -> dict:
     """Convert a torch DISK state_dict (layout in the module docstring)
     to the JAX parameter pytree. torch conv (O, I, kh, kw) -> (kh, kw, I, O)."""
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     if isinstance(sd, dict) and "extractor" in sd:
         sd = sd["extractor"]
     if hasattr(sd, "state_dict"):

@@ -154,9 +154,9 @@ def load_torch_weights(path: str):
 
     torch conv weight (O, I, kh, kw) -> flax kernel (kh, kw, I, O).
     """
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     params = {}

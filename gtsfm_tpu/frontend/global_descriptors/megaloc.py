@@ -305,9 +305,9 @@ def load_torch_weights(path: str, opts: Optional[MegaLocOptions] = None):
     gamma, norm2, mlp.fc1, mlp.fc2, ls2.gamma}, norm}; aggregator.agg.
     {token_features.{0,2}, cluster_features.{0,3}, score.{0,3}, dust_bin};
     aggregator.linear."""
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k: np.asarray(v) for k, v in sd.items()}

@@ -356,9 +356,9 @@ def load_torch_weights(path: str, opts: Optional[MASt3ROptions] = None):
     norm3/mlp, norm_y), dec_norm, downstream_head1.head_local_features.
     proj.{0,2} (Mlp fc1/fc2). DPT pts3d weights are skipped (unused by the
     correspondence path). Dims are read from tensor shapes."""
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    ckpt = torch.load(path, map_location="cpu")
+    ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

@@ -412,9 +412,9 @@ def convert_torch_state_dict(sd, opts: LightGlueOptions):
 
 def load_torch_weights(path: str, opts: LightGlueOptions = LightGlueOptions()):
     """Load the official superpoint_lightglue.pth -> (Flax params, opts)."""
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k: v for k, v in sd.items()}

@@ -122,15 +122,24 @@ def log_sinkhorn(Z, log_mu, log_nu, iters: int):
     return Z + u[:, None] + v[None, :]
 
 
-def log_optimal_transport(scores, alpha, iters: int, m_count=None, n_count=None):
+def log_optimal_transport(scores, alpha, iters: int, m_count=None, n_count=None,
+                          row_mask=None, col_mask=None):
     """Dustbin-augmented entropic OT in log space (superglue.py:
     log_optimal_transport). m_count/n_count: true (unpadded) keypoint
-    counts used as marginals; default = full sizes."""
+    counts used as marginals; default = full sizes. row_mask/col_mask mark
+    real (unpadded) slots: padded slots get ZERO marginal mass (-inf in
+    log space) and their dustbin couplings are masked, so Sinkhorn on a
+    padded problem reproduces the unpadded reference result exactly."""
     m, n = scores.shape
     ms = jnp.float32(m) if m_count is None else m_count.astype(jnp.float32)
     ns = jnp.float32(n) if n_count is None else n_count.astype(jnp.float32)
+    neg = jnp.asarray(-1e9, scores.dtype)
     bins0 = jnp.full((m, 1), alpha, scores.dtype)
     bins1 = jnp.full((1, n), alpha, scores.dtype)
+    if row_mask is not None:
+        bins0 = jnp.where(row_mask[:, None], bins0, neg)
+    if col_mask is not None:
+        bins1 = jnp.where(col_mask[None, :], bins1, neg)
     alpha_c = jnp.full((1, 1), alpha, scores.dtype)
     couplings = jnp.concatenate(
         [
@@ -140,8 +149,14 @@ def log_optimal_transport(scores, alpha, iters: int, m_count=None, n_count=None)
         axis=0,
     )
     norm = -jnp.log(ms + ns)
-    log_mu = jnp.concatenate([jnp.full((m,), norm), jnp.log(ns)[None] + norm])
-    log_nu = jnp.concatenate([jnp.full((n,), norm), jnp.log(ms)[None] + norm])
+    row_m = jnp.full((m,), norm)
+    col_m = jnp.full((n,), norm)
+    if row_mask is not None:
+        row_m = jnp.where(row_mask, row_m, -jnp.inf)
+    if col_mask is not None:
+        col_m = jnp.where(col_mask, col_m, -jnp.inf)
+    log_mu = jnp.concatenate([row_m, jnp.log(ns)[None] + norm])
+    log_nu = jnp.concatenate([col_m, jnp.log(ms)[None] + norm])
     Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
     return Z - norm
 
@@ -176,7 +191,10 @@ class SuperGlueNet(nn.Module):
             nc = jnp.sum(mask1.astype(jnp.int32))
         else:
             mc = nc = None
-        return log_optimal_transport(s, alpha, o.sinkhorn_iterations, mc, nc)
+        return log_optimal_transport(
+            s, alpha, o.sinkhorn_iterations, mc, nc,
+            row_mask=mask0, col_mask=mask1,
+        )
 
 
 def normalize_keypoints_sg(coords: jnp.ndarray, image_size) -> jnp.ndarray:
@@ -302,7 +320,7 @@ def convert_torch_state_dict(sd, opts: SuperGlueOptions = SuperGlueOptions()):
 
 
 def load_torch_weights(path: str, opts: SuperGlueOptions = SuperGlueOptions()):
-    import torch
+    from gtsfm_tpu.utils.torch_io import load_torch_checkpoint
 
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     return convert_torch_state_dict(sd, opts)

@@ -65,14 +65,13 @@ def similarity_matrix(descriptors: jnp.ndarray, use_bf16: bool = True) -> jnp.nd
     return jnp.dot(d, d.T, precision=jax.lax.Precision.HIGHEST)
 
 
-def similarity_pairs(
-    descriptors: jnp.ndarray,
-    num_matched: int = 5,
-    min_score: float = 0.3,
-) -> tuple:
-    """Top-K above-threshold pairs per query. Returns (pairs (P, 2) np,
-    sim_matrix np (retained for diagnostics / bridge reconnection))."""
-    sim = similarity_matrix(descriptors)
+def pairs_from_similarity_matrix(
+    sim, num_matched: int = 5, min_score: float = 0.3
+) -> np.ndarray:
+    """Top-K above-threshold pairs per query row of a precomputed
+    similarity matrix (also the entry point for externally-produced
+    matrices, e.g. the reference's saved netvlad_similarity_matrix.txt)."""
+    sim = jnp.asarray(sim)
     n = sim.shape[0]
     sim = sim - 2.0 * jnp.eye(n, dtype=sim.dtype)  # exclude self
     scores, idx = jax.lax.top_k(sim, min(num_matched, n - 1) if n > 1 else 1)
@@ -84,7 +83,20 @@ def similarity_pairs(
             j = int(idx_np[i, k])
             if scores_np[i, k] >= min_score and i != j:
                 pairs.add((min(i, j), max(i, j)))
-    pairs = np.array(sorted(pairs), np.int32).reshape(-1, 2)
+    return np.array(sorted(pairs), np.int32).reshape(-1, 2)
+
+
+def similarity_pairs(
+    descriptors: jnp.ndarray,
+    num_matched: int = 5,
+    min_score: float = 0.3,
+) -> tuple:
+    """Top-K above-threshold pairs per query. Returns (pairs (P, 2) np,
+    sim_matrix np (retained for diagnostics / bridge reconnection))."""
+    sim = similarity_matrix(descriptors)
+    n = sim.shape[0]
+    sim = sim - 2.0 * jnp.eye(n, dtype=sim.dtype)  # exclude self
+    pairs = pairs_from_similarity_matrix(sim, num_matched, min_score)
     return pairs, np.asarray(sim)
 
 

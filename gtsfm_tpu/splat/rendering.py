@@ -144,10 +144,6 @@ def render(
     return color, 1.0 - T
 
 
-@partial(
-    jax.jit,
-    static_argnames=("height", "width", "tile", "per_tile_cap", "max_dup"),
-)
 def render_tiled(
     gs: GSData,
     wTc: SE3,
@@ -158,6 +154,48 @@ def render_tiled(
     tile: int = 16,
     per_tile_cap: int = 512,
     max_dup: int = 16,
+):
+    """Tile-binned rasterization (public wrapper).
+
+    The sort key packs (tile_id, depth_rank) into int32 (x64 is disabled
+    under jit), so the bit split is chosen per problem: rank gets
+    ceil(log2(G)) bits and the tile grid the rest. Large frames with many
+    gaussians get coarser tiles (same total pixel work) instead of a
+    trace-time crash; if even 128px tiles don't fit, fall back to the
+    dense render().
+    """
+    G = gs.max_gaussians
+    rank_bits = max(1, (max(G, 2) - 1).bit_length())
+    while True:
+        ny = -(-height // tile)
+        nx = -(-width // tile)
+        # strictly below the reserved invalid-tile decode value
+        if ny * nx < (1 << (31 - rank_bits)) - 1 or tile >= 128:
+            break
+        tile *= 2
+    if ny * nx >= (1 << (31 - rank_bits)) - 1:
+        return render(gs, wTc, K, height, width, bg=bg)
+    return _render_tiled_impl(
+        gs, wTc, K, height, width, bg=bg, tile=tile,
+        per_tile_cap=per_tile_cap, max_dup=max_dup, rank_bits=rank_bits,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "per_tile_cap", "max_dup", "rank_bits"),
+)
+def _render_tiled_impl(
+    gs: GSData,
+    wTc: SE3,
+    K: jnp.ndarray,
+    height: int,
+    width: int,
+    bg: float = 0.0,
+    tile: int = 16,
+    per_tile_cap: int = 512,
+    max_dup: int = 16,
+    rank_bits: int = 20,
 ):
     """Tile-binned rasterization — the gsplat algorithm, XLA-native.
 
@@ -178,18 +216,18 @@ def render_tiled(
         (n_tiles, chunk, tile*tile) tensor — tiles ride the batch axis,
         the 256 tile pixels ride the lanes.
 
-    Constraints (asserted): G <= 2^20 and tiles <= 2^11 so the sort key
-    packs into int32 (x64 is disabled under jit).
+    Constraints (asserted): rank fits rank_bits and the tile grid fits
+    the remaining 31 - rank_bits key bits (the wrapper guarantees both).
     """
     th = tw = tile
     ny = (height + th - 1) // th
     nx = (width + tw - 1) // tw
     n_tiles = ny * nx
     G = gs.max_gaussians
-    assert G <= (1 << 20), "render_tiled: G must fit 20-bit rank"
-    # 2047 is reserved: invalid duplicate slots carry key int32-max, whose
-    # high bits decode to tile 2047 and sort after every real tile
-    assert n_tiles < 2047, "render_tiled: tile grid must fit 11 bits"
+    assert G <= (1 << rank_bits), "render_tiled: G must fit the rank bits"
+    # the top tile decode value is reserved: invalid duplicate slots carry
+    # key int32-max, whose high bits sort after every real tile
+    assert n_tiles < (1 << (31 - rank_bits)) - 1, "render_tiled: tile grid must fit key bits"
 
     xy, cov2d, z, alpha, rgb = project_gaussians(gs, wTc, K)
     visible = (z > 0.01) & (alpha > 1e-4)
@@ -236,12 +274,12 @@ def render_tiled(
     order = jnp.argsort(jnp.where(visible, z, jnp.inf))
     rank = jnp.zeros(G, jnp.int32).at[order].set(jnp.arange(G, dtype=jnp.int32))
     key = jnp.where(
-        dup_ok, tile_id * (1 << 20) + rank[:, None], jnp.iinfo(jnp.int32).max
+        dup_ok, tile_id * (1 << rank_bits) + rank[:, None], jnp.iinfo(jnp.int32).max
     ).reshape(-1)
     sorted_idx = jnp.argsort(key)
     sorted_key = key[sorted_idx]
     sorted_gauss = (sorted_idx // max_dup).astype(jnp.int32)
-    sorted_tile = sorted_key >> 20  # invalid entries land at 2^11+
+    sorted_tile = sorted_key >> rank_bits  # invalid entries decode past n_tiles
 
     # per-tile segment [st, en) in the sorted order
     tids = jnp.arange(n_tiles, dtype=jnp.int32)

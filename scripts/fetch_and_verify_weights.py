@@ -33,46 +33,58 @@ import urllib.request
 from pathlib import Path
 
 CHECKPOINTS = {
-    # name -> (url, loader module, loader notes)
+    # name -> (url, loader module, loader notes, pinned sha256 or None).
+    # Pins are trust-on-first-use: this image is zero-egress, so digests
+    # cannot be computed here. On the first egress-enabled run, pass
+    # --trust-unpinned, copy the printed digest into this table, and from
+    # then on any mismatch is a hard failure BEFORE the file ever reaches
+    # torch.load.
     "superpoint": (
         "https://github.com/magicleap/SuperGluePretrainedNetwork/raw/master/"
         "models/weights/superpoint_v1.pth",
         "gtsfm_tpu.frontend.detectors.superpoint",
         "MagicLeap SuperPoint v1 (non-commercial license)",
+        None,
     ),
     "lightglue": (
         "https://github.com/cvg/LightGlue/releases/download/v0.1_arxiv/"
         "superpoint_lightglue.pth",
         "gtsfm_tpu.frontend.matchers.lightglue",
         "CVG LightGlue for SuperPoint descriptors",
+        None,
     ),
     "superglue_outdoor": (
         "https://github.com/magicleap/SuperGluePretrainedNetwork/raw/master/"
         "models/weights/superglue_outdoor.pth",
         "gtsfm_tpu.frontend.matchers.superglue",
         "MagicLeap SuperGlue outdoor (non-commercial license)",
+        None,
     ),
     "d2net": (
         "https://dusmanu.com/files/d2-net/d2_tf.pth",
         "gtsfm_tpu.frontend.detectors.d2net",
         "D2-Net trained weights (d2_tf)",
+        None,
     ),
     "disk": (
         "https://github.com/cvlab-epfl/disk/releases/download/depth-save.pth/"
         "depth-save.pth",
         "gtsfm_tpu.frontend.detectors.disk",
         "DISK depth-supervised weights (kornia uses the same checkpoint)",
+        None,
     ),
     "patchmatchnet": (
         "https://github.com/FangjinhuaWang/PatchmatchNet/raw/"
         "fa4ecae69b3a376ce238002db8d5283406128eac/checkpoints/model_000007.ckpt",
         "gtsfm_tpu.densify.patchmatchnet",
         "PatchmatchNet DTU-trained checkpoint (the reference's pin)",
+        None,
     ),
     "netvlad": (
         "https://cvg-data.inf.ethz.ch/hloc/netvlad/Pitts30K_struct.mat",
         "gtsfm_tpu.frontend.global_descriptors.descriptors",
         "hloc VGG16-NetVLAD Pitts30K (matlab struct; loader handles it)",
+        None,
     ),
 }
 
@@ -85,14 +97,31 @@ def sha256(path: Path) -> str:
     return h.hexdigest()
 
 
-def fetch(name: str, url: str, out_dir: Path) -> Path:
+def fetch(name: str, url: str, out_dir: Path, trust_unpinned: bool) -> Path:
+    expected = CHECKPOINTS[name][3]
     dst = out_dir / url.rsplit("/", 1)[-1]
-    if dst.exists():
+    if not dst.exists():
+        print(f"[{name}] downloading {url}")
+        urllib.request.urlretrieve(url, dst)  # noqa: S310 - explicit allowlist above
+    else:
         print(f"[{name}] cached: {dst}")
-        return dst
-    print(f"[{name}] downloading {url}")
-    urllib.request.urlretrieve(url, dst)  # noqa: S310 - explicit allowlist above
-    print(f"[{name}] sha256 {sha256(dst)}")
+    digest = sha256(dst)
+    if expected is not None:
+        if digest != expected:
+            dst.unlink()
+            raise RuntimeError(
+                f"[{name}] sha256 MISMATCH: got {digest}, pinned {expected} — "
+                "refusing to convert (file deleted; re-download or update the pin)"
+            )
+        print(f"[{name}] sha256 verified: {digest}")
+    else:
+        if not trust_unpinned:
+            raise RuntimeError(
+                f"[{name}] no pinned sha256 for this checkpoint; re-run with "
+                f"--trust-unpinned to accept it once, then pin {digest} in "
+                "CHECKPOINTS"
+            )
+        print(f"[{name}] sha256 {digest}  <-- PIN THIS in CHECKPOINTS")
     return dst
 
 
@@ -103,7 +132,7 @@ def convert_and_probe(name: str, ckpt: Path, out_dir: Path, torch_check: bool):
     import jax.numpy as jnp
     import numpy as np
 
-    _, module_name, _ = CHECKPOINTS[name]
+    _, module_name, _, _ = CHECKPOINTS[name]
     mod = importlib.import_module(module_name)
     params = mod.load_torch_weights(str(ckpt))
     npz_path = out_dir / f"{name}_jax.npz"
@@ -153,6 +182,9 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--out", default="weights")
     ap.add_argument("--torch-check", action="store_true")
+    ap.add_argument("--trust-unpinned", action="store_true",
+                    help="accept checkpoints with no pinned sha256 (TOFU); "
+                    "the printed digest should then be pinned in CHECKPOINTS")
     args = ap.parse_args()
     names = sorted(CHECKPOINTS) if args.all else args.models
     if not names:
@@ -160,10 +192,10 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
-        url, _, note = CHECKPOINTS[name]
+        url, _, note, _ = CHECKPOINTS[name]
         print(f"[{name}] {note}")
         try:
-            ckpt = fetch(name, url, out_dir)
+            ckpt = fetch(name, url, out_dir, args.trust_unpinned)
         except OSError as e:
             print(f"[{name}] FETCH FAILED ({e}) — zero-egress environment? "
                   "Converters remain verified against torch re-implementations "

@@ -222,3 +222,59 @@ def test_superglue_matcher_contract():
     # no match may point at a padded target slot in pair 1
     tgt = np.asarray(idx[1][np.asarray(ok[1])])
     assert (tgt < 40).all()
+
+
+def test_superglue_padded_matches_unpadded():
+    """Padding keypoints to a larger K must not change the assignment:
+    padded slots carry zero OT marginal mass (ADVICE r2: padded rows were
+    absorbing dustbin mass and distorting real rows). Checked exactly at
+    the OT level and end-to-end at depth 2 (full-depth RANDOM-init nets
+    amplify float reduction-order noise ~100x per residual stack, so the
+    18-layer random net is not a meaningful parity probe; the trained-
+    weight path is covered by test_superglue_exact_forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.frontend.matchers.superglue import log_optimal_transport
+
+    rng = np.random.default_rng(3)
+    K0, K1, PAD = 48, 40, 96
+
+    # 1) OT level: padded solve == unpadded solve, exactly
+    sc = jnp.asarray(rng.normal(size=(K0, K1)).astype(np.float32))
+    alpha = jnp.float32(1.0)
+    z_ref = np.asarray(log_optimal_transport(sc, alpha, 20))
+    sp = jnp.full((PAD, PAD), -1e9, jnp.float32).at[:K0, :K1].set(sc)
+    m0 = jnp.arange(PAD) < K0
+    m1 = jnp.arange(PAD) < K1
+    z_pad = np.asarray(
+        log_optimal_transport(sp, alpha, 20, jnp.int32(K0), jnp.int32(K1), m0, m1)
+    )
+    assert np.abs(z_pad[:K0, :K1] - z_ref[:K0, :K1]).max() < 1e-5
+    assert np.abs(z_pad[:K0, PAD] - z_ref[:K0, K1]).max() < 1e-5  # dustbin col
+    assert np.abs(z_pad[PAD, :K1] - z_ref[K0, :K1]).max() < 1e-5  # dustbin row
+
+    # 2) end-to-end through the masked GNN at bounded depth
+    opts = SuperGlueOptions(num_layers=2, sinkhorn_iterations=20)
+    net = SuperGlueNet(opts)
+    d0 = jnp.asarray(rng.normal(size=(K0, 256)).astype(np.float32))
+    d1 = jnp.asarray(rng.normal(size=(K1, 256)).astype(np.float32))
+    c0 = jnp.asarray(rng.uniform(-1, 1, (K0, 2)).astype(np.float32))
+    c1 = jnp.asarray(rng.uniform(-1, 1, (K1, 2)).astype(np.float32))
+    s0 = jnp.asarray(rng.uniform(0, 1, K0).astype(np.float32))
+    s1 = jnp.asarray(rng.uniform(0, 1, K1).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), d0, d1, c0, c1, s0, s1)
+    ze = np.asarray(net.apply(variables, d0, d1, c0, c1, s0, s1))
+
+    def pad(a, k):
+        return jnp.concatenate([a, jnp.zeros((k - a.shape[0],) + a.shape[1:], a.dtype)])
+
+    zp = np.asarray(
+        net.apply(
+            variables, pad(d0, PAD), pad(d1, PAD), pad(c0, PAD), pad(c1, PAD),
+            pad(s0, PAD), pad(s1, PAD), m0, m1,
+        )
+    )
+    assert np.isfinite(zp[np.ix_(np.r_[0:K0, PAD], np.r_[0:K1, PAD])]).all()
+    assert np.abs(zp[:K0, :K1] - ze[:K0, :K1]).max() < 1e-3
+    assert np.abs(zp[:K0, PAD] - ze[:K0, K1]).max() < 1e-3
