@@ -256,4 +256,15 @@ def build_correspondence(cfg: Optional[dict]):
                 return self.g.generate(pairs)
 
         return _IgnoreImages(gen)
+    if name == "synthetic":
+        # noise-free correspondences from GT geometry — back-end validation
+        # through the production path (synthetic_correspondence_generator.py
+        # :36 + configs/synthetic_front_end.yaml parity); the scene
+        # optimizer routes it via its requires_gt marker
+        from gtsfm_tpu.frontend.synthetic import (
+            SyntheticCorrespondenceGenerator,
+            SyntheticOptions,
+        )
+
+        return SyntheticCorrespondenceGenerator(SyntheticOptions(**cfg))
     raise ValueError(f"Unknown correspondence generator: {name!r}")

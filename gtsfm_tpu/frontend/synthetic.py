@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtsfm_tpu.geometry import SE3, PinholeCamera
+from gtsfm_tpu.utils.overlap_frustums import in_frustum
 
 
 class SyntheticOptions(NamedTuple):
@@ -32,6 +33,10 @@ class SyntheticOptions(NamedTuple):
 
 
 class SyntheticCorrespondenceGenerator:
+    # scene_optimizer routes generators with this marker through the
+    # GT-driven synthetic path instead of the image-matcher path
+    requires_gt = True
+
     def __init__(self, options: SyntheticOptions = SyntheticOptions()):
         self.options = options
 
@@ -71,11 +76,7 @@ class SyntheticCorrespondenceGenerator:
             uv, depth = cam.project(jnp.asarray(pts))
             uv = np.asarray(uv)
             w, h = image_sizes[i]
-            inb = (
-                (np.asarray(depth) > 0)
-                & (uv[:, 0] >= 0) & (uv[:, 0] < w)
-                & (uv[:, 1] >= 0) & (uv[:, 1] < h)
-            )
+            inb = in_frustum(pts, cam.pose, cam.cal, w, h, z_min=1e-6, z_max=np.inf)
             if opts.noise_px > 0:
                 uv = uv + rng.normal(0, opts.noise_px, uv.shape).astype(np.float32)
             kp_xy[i] = uv

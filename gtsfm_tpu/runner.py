@@ -18,6 +18,14 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="gtsfm_tpu reconstruction runner")
     p.add_argument("--config_name", default="unified", help="named config or YAML path")
+    p.add_argument("--bal", default=None, metavar="PROBLEM",
+                   help="BA-only mode: optimize a BAL (Bundle Adjustment in "
+                        "the Large) problem file and report costs (skips the "
+                        "reconstruction pipeline; GtsfmData.read_bal parity)")
+    p.add_argument("--compare_to", default=None, metavar="COLMAP_DIR",
+                   help="after the run, compare the exported reconstruction "
+                        "against this COLMAP-format reference "
+                        "(compare_colmap_outputs.py parity)")
     p.add_argument(
         "--loader", default="olsson",
         choices=[
@@ -25,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
             "mobilebrick", "onedsfm", "hilti", "argoverse", "yfcc",
         ],
     )
-    p.add_argument("--dataset_dirpath", required=True)
+    p.add_argument("--dataset_dirpath", default=None,
+                   help="dataset root (required except in --bal mode)")
     p.add_argument("--images_dir", default=None, help="colmap loader images dir")
     p.add_argument("--colmap_files_dirpath", default=None)
     p.add_argument("--argoverse_log_id", default=None, help="argoverse vehicle log id")
@@ -148,6 +157,33 @@ def build_loader(args):
     return ColmapLoader(colmap_dir, images_dir, **kw)
 
 
+def run_bal(path: str, output_root: str) -> int:
+    """BA-only tool mode: read a BAL problem, run the production bundle
+    adjuster, print cost reduction and reprojection stats, export COLMAP.
+    The skydio-501 merge-BA regime without a front-end."""
+    import numpy as np
+
+    from gtsfm_tpu.bundle.ba import BAOptions, BundleAdjustment
+    from gtsfm_tpu.io import colmap as colmap_io
+    from gtsfm_tpu.io.bal import read_bal
+
+    data = read_bal(path)
+    print(f"BAL problem: {data.number_images()} cameras, "
+          f"{data.number_tracks()} points, {data.number_measurements()} measurements")
+    fixed = np.zeros(data.max_cameras, bool)
+    fixed[0] = True
+    ba = BundleAdjustment(BAOptions())
+    t0 = time.time()
+    out, metrics = ba.run(data, fixed_cam=fixed)
+    print(f"BA: cost {metrics['initial_cost']:.4g} -> {metrics['final_cost']:.4g} "
+          f"in {metrics['iterations']} iterations ({time.time() - t0:.1f}s)")
+    if output_root:
+        import os
+
+        colmap_io.write_scene(out, os.path.join(output_root, "bal_output"))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     maybe_init_distributed(args)
@@ -155,6 +191,10 @@ def main(argv=None) -> int:
     from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if args.bal:
+        return run_bal(args.bal, args.output_root)
+    if not args.dataset_dirpath:
+        build_parser().error("--dataset_dirpath is required (except with --bal)")
     if args.prewarm:
         from gtsfm_tpu.utils.prewarm import prewarm_standard_shapes
 
@@ -196,6 +236,20 @@ def main(argv=None) -> int:
         for k, v in d.items():
             if isinstance(v, (int, float)):
                 print(f"  {g.name}/{k}: {v}")
+    if args.compare_to:
+        import os
+
+        from gtsfm_tpu.evaluation.compare import compare_colmap_dirs
+
+        est_dir = os.path.join(args.output_root, "results", "ba_output")
+        cmp_dir = os.path.join(args.output_root, "results", "comparison")
+        if os.path.exists(os.path.join(est_dir, "cameras.txt")):
+            cg = compare_colmap_dirs(est_dir, args.compare_to, output_dir=cmp_dir)
+            for m in cg.metrics:
+                if m.dist is None:
+                    print(f"  comparison/{m.name}: {m.scalar}")
+        else:
+            print("  comparison skipped: no exported reconstruction")
     return 0
 
 

@@ -36,9 +36,15 @@ class HierarchicalOptions(NamedTuple):
 class HierarchicalReconstruction:
     """Runs the partitioned back-end given flat front-end outputs."""
 
-    def __init__(self, options: HierarchicalOptions = HierarchicalOptions(), mesh=None):
+    def __init__(self, options: HierarchicalOptions = HierarchicalOptions(), mesh=None,
+                 cluster_cache=None):
+        """cluster_cache: optional utils.cache.DiskCache — whole-cluster
+        result caching (cluster_optimizer_cacher.py parity): a re-run with
+        identical front-end outputs replays each leaf reconstruction."""
         self.options = options
         self.mesh = mesh
+        self.cluster_cache = cluster_cache
+        self.node_results = []  # [(path tuple, SfmData)] from the last run
 
     def run(
         self,
@@ -83,6 +89,25 @@ class HierarchicalReconstruction:
             sel = edge_subset(node.value)
             sub_edges = edges[sel]
             local_cams = np.unique(sub_edges)
+
+            cache_key = None
+            if self.cluster_cache is not None:
+                from gtsfm_tpu.utils.cache import content_key
+
+                stride = max(1, keypoints_xy.shape[1] // 32)
+                cache_key = content_key(
+                    sub_edges,
+                    np.asarray(tvr["i2Ri1"])[sel],
+                    np.asarray(tvr["i2Ui1"])[sel],
+                    np.asarray(tvr["corr_mask"])[sel],
+                    np.asarray(keypoints_xy)[local_cams][:, ::stride],
+                    repr(opts.mvo),
+                )
+                hit = self.cluster_cache.get(cache_key)
+                if hit is not None:
+                    data_np, kp_map, m_cached = hit
+                    cluster_metrics.append(dict(m_cached, cache_hit=True))
+                    return (jax.tree.map(jnp.asarray, data_np), kp_map)
             n_local = ceil_pow2(len(local_cams), 8)
             g2l = np.full(num_images, -1, np.int64)
             g2l[local_cams] = np.arange(len(local_cams))
@@ -154,7 +179,14 @@ class HierarchicalReconstruction:
             aux = m.get("aux", {})
             if aux:
                 aux = dict(aux, meas_cam=local_cams[np.asarray(aux["meas_cam"])])
-            return (data, _kp_track_map(aux))
+            kp_map = _kp_track_map(aux)
+            if cache_key is not None:
+                self.cluster_cache.put(
+                    cache_key,
+                    (jax.tree.map(np.asarray, data), kp_map,
+                     {k: v for k, v in m.items() if isinstance(v, (int, float, str))}),
+                )
+            return (data, kp_map)
 
         def fold(node: ClusterTree, child_results):
             child_results = [c for c in child_results if c is not None]
@@ -184,7 +216,22 @@ class HierarchicalReconstruction:
                     result = merged
             return result
 
-        final = tree.map_postorder(fold)
+        # explicit postorder walk carrying the cluster path so per-node
+        # results can be exported as a SceneTree (results/C_1/C_1_2/...
+        # layout — products/scene_tree.py:16-164 + common/outputs.py:27-55
+        # parity); fold semantics identical to ClusterTree.map_postorder
+        self.node_results = []
+
+        def walk(node: ClusterTree, path: tuple):
+            child_results = [
+                walk(c, path + (k + 1,)) for k, c in enumerate(node.children)
+            ]
+            result = fold(node, child_results)
+            if result is not None:
+                self.node_results.append((path, result[0]))
+            return result
+
+        final = walk(tree, ())
         metrics["cluster_metrics"] = cluster_metrics
         if final is None:
             return SfmData.empty(num_images, meta=meta), {**metrics, "failed": True}

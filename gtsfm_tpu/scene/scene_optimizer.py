@@ -89,6 +89,13 @@ class SceneOptimizerOptions(NamedTuple):
     # direct-correspondence mode: global keypoints per image after the
     # dedup aggregation (keypoint_aggregator_dedup.py parity)
     direct_max_keypoints: int = 2048
+    # opt-in per-pair result telemetry (sqlite path) — the reference's
+    # Postgres live-monitoring tables (two_view_estimator.py:105-164)
+    telemetry_db: Optional[str] = None
+    # with no GT to align to, rotate the scene so the point cloud's
+    # principal axes align with the world axes (utils/ellipsoid.py;
+    # reference wires this into the export path, cluster_mvo.py:474-495)
+    axis_align_when_no_gt: bool = True
 
 
 class SceneOptimizer:
@@ -130,9 +137,16 @@ class SceneOptimizer:
                     self._mesh = make_mesh()
             except RuntimeError:
                 pass
+        self._telemetry = None
+        if options.telemetry_db:
+            from gtsfm_tpu.common.telemetry import TelemetryDB
+
+            self._telemetry = TelemetryDB(options.telemetry_db)
         self._detect_cache = None
         self._two_view_cacher = None
+        self._cluster_cache = None
         if options.use_cache:
+            from gtsfm_tpu.frontend.cachers import MatcherCacher
             from gtsfm_tpu.frontend.two_view_cacher import TwoViewEstimatorCacher
             from gtsfm_tpu.utils.cache import DiskCache
 
@@ -142,6 +156,9 @@ class SceneOptimizer:
                 options_repr=repr((options.two_view, type(self.matcher).__name__)),
                 root=options.cache_root,
             )
+            if self.matcher is not None:
+                self.matcher = MatcherCacher(self.matcher, root=options.cache_root)
+            self._cluster_cache = DiskCache("cluster", root=options.cache_root)
 
     # ------------------------------------------------------------------
     def run(self, loader: LoaderBase) -> tuple:
@@ -205,7 +222,23 @@ class SceneOptimizer:
         # ---- two-view estimation (batched over pairs) ----------------
         t0 = time.perf_counter()
         pair_matches = None
-        if direct:
+        if direct and getattr(self.correspondence, "requires_gt", False):
+            # synthetic correspondence generator: noise-free matches from
+            # GT geometry through the PRODUCTION two-view/back-end path
+            # (synthetic_correspondence_generator.py:36 /
+            # configs/synthetic_front_end.yaml parity)
+            syn = self.correspondence.generate(
+                loader.get_gt_poses(), cal, pairs,
+                [(w, h) for (h, w) in sizes],
+            )
+            kp_xy = syn["keypoints_xy"]
+            kp_mask = syn["kp_mask"]
+            pair_matches = {
+                (int(a), int(b)): (syn["corr_i1"][e], syn["corr_i2"][e], syn["corr_mask"][e])
+                for e, (a, b) in enumerate(pairs)
+            }
+            descs = np.zeros((n, kp_xy.shape[1], 4), np.float32)
+        elif direct:
             from gtsfm_tpu.frontend.correspondence import (
                 AggregatorOptions,
                 KeypointAggregatorDedup,
@@ -265,11 +298,35 @@ class SceneOptimizer:
 
         # per-pair two-view reports vs GT (verifier_summary parity)
         gt_for_reports = loader.get_gt_poses()
+        reports = None
         if gt_for_reports is not None:
             from gtsfm_tpu.frontend.reports import aggregate_frontend_metrics, make_reports
 
             reports = make_reports(pairs, tvr, gt_for_reports)
             metrics_groups.append(aggregate_frontend_metrics(reports))
+
+        # opt-in sqlite telemetry of the per-pair unit, the reference's DB
+        # logging wired into two_view_estimator.py:105-164
+        if self._telemetry is not None:
+            if reports is None:
+                from gtsfm_tpu.frontend.reports import make_reports
+
+                reports = make_reports(pairs, tvr, gt_for_reports)
+            self._telemetry.log_metadata(num_images=n, num_pairs=len(pairs))
+            self._telemetry.log_two_view_results(reports)
+            self._telemetry.log_stage("detect_describe", detect_sec)
+            self._telemetry.log_stage("retriever", retriever_sec)
+            self._telemetry.log_stage("two_view", frontend_sec)
+
+        # retrieval quality: similarity scores vs GT viewpoint proximity
+        # (evaluation/retrieval_metrics.py:18 parity) whenever a similarity
+        # retriever produced a matrix and GT poses exist
+        if sim_matrix is not None and gt_for_reports is not None and len(pairs):
+            from gtsfm_tpu.evaluation.retrieval_metrics import retrieval_metrics
+
+            metrics_groups.append(
+                retrieval_metrics(np.asarray(pairs), np.asarray(sim_matrix), gt_for_reports)
+            )
 
         # ---- multi-view optimization ---------------------------------
         meta = SceneMeta(
@@ -285,8 +342,10 @@ class SceneOptimizer:
             hier = HierarchicalReconstruction(
                 HierarchicalOptions(mvo=opts.mvo, max_cluster_size=opts.max_cluster_size),
                 mesh=self._mesh,
+                cluster_cache=self._cluster_cache,
             )
             data, mvo_metrics = hier.run(n, pairs, tvr, kp_xy, cal, meta=meta)
+            self._hier_node_results = hier.node_results
         else:
             mvo = MultiViewOptimizer(opts.mvo, mesh=self._mesh)
             data, mvo_metrics = mvo.run(
@@ -362,20 +421,60 @@ class SceneOptimizer:
         opts = self.options
         # ---- evaluation vs GT ----------------------------------------
         gt = loader.get_gt_poses()
+        if (gt is None and opts.axis_align_when_no_gt and gs_init is None
+                and not mvo_metrics.get("failed")):
+            # no GT frame: canonicalize via PCA axis alignment of the
+            # landmark cloud (cluster_mvo.py:474-495 / utils/ellipsoid.py)
+            from gtsfm_tpu.utils.ellipsoid import align_scene_to_axes
+
+            data = align_scene_to_axes(data)
         if gt is not None and not mvo_metrics.get("failed"):
             est_mask = np.asarray(data.pose_mask)
             rot_err, t_err, sim = relative_pose_errors(data.poses, gt, est_mask)
             data = data.transform(sim)  # keep whole scene (poses+points) in GT frame
+            if gs_init is not None:
+                # splats were predicted in the pre-alignment frame — carry
+                # them through the same Sim3 (utils/transform.py parity)
+                from gtsfm_tpu.splat.merge import transform_splats
+
+                gs_init = transform_splats(gs_init, sim)
             auc = pose_auc(rot_err[est_mask])
+            # the reference integration-test criterion as a live metric
+            # (tests/test_gtsfm_runner_olssonloader.py:44 via
+            # utils/geometry_comparisons.compare_global_poses)
+            from gtsfm_tpu.utils.geometry_comparisons import compare_global_poses
+
+            est_idx = np.flatnonzero(est_mask)
+            crit = compare_global_poses(
+                jax.tree.map(lambda a: a[jnp.asarray(est_idx)], data.poses),
+                jax.tree.map(lambda a: a[jnp.asarray(est_idx)], gt),
+            ) if len(est_idx) >= 3 else False
             eval_group = MetricsGroup(
                 "ba_pose_metrics",
                 [
                     Metric("rotation_error_deg", rot_err[est_mask]),
                     Metric("translation_error", t_err[est_mask]),
+                    Metric("poses_match_gt_criterion", float(crit)),
                 ]
                 + [Metric(k, v) for k, v in auc.items()],
             )
             metrics_groups.append(eval_group)
+            # track correctness vs GT cameras (utils/tracks.py — the
+            # reference's track classification in data-association metrics)
+            if data.number_tracks() > 0:
+                from gtsfm_tpu.utils.tracks import tracks_from_sfm_data
+
+                correct, _errs = tracks_from_sfm_data(data, gt)
+                metrics_groups.append(
+                    MetricsGroup(
+                        "track_classification_metrics",
+                        [
+                            Metric("num_tracks_classified", int(correct.size)),
+                            Metric("fraction_tracks_gt_consistent",
+                                   float(correct.mean()) if correct.size else 0.0),
+                        ],
+                    )
+                )
             # intrinsics error vs the loader's (GT) calibrations
             # (compute_intrinsics_metrics parity, utils/metrics.py:523)
             from gtsfm_tpu.evaluation.metrics import intrinsics_error_metrics
@@ -432,6 +531,8 @@ class SceneOptimizer:
         metrics_groups.append(
             MetricsGroup("total_summary", [Metric("total_runtime_sec", total_sec)])
         )
+        if self._telemetry is not None:
+            self._telemetry.log_stage("total", total_sec)
 
         # ---- export --------------------------------------------------
         if opts.output_root:
@@ -439,6 +540,28 @@ class SceneOptimizer:
             os.makedirs(results_dir, exist_ok=True)
             if opts.save_colmap and data.number_tracks() > 0:
                 colmap_io.write_scene(data, os.path.join(results_dir, "ba_output"))
+            # hierarchical runs: per-cluster merged results as a SceneTree
+            # (results/C_1/C_1_2/... — products/scene_tree.py parity)
+            node_results = getattr(self, "_hier_node_results", None)
+            if opts.save_colmap and node_results:
+                from gtsfm_tpu.products.scene_tree import SceneTree
+
+                nodes = {}
+                for path, node_data in node_results:
+                    if not path:  # root == the merged ba_output above
+                        continue
+                    d = os.path.join(
+                        results_dir, *[f"C_{'_'.join(map(str, path[: k + 1]))}"
+                                       for k in range(len(path))]
+                    )
+                    nodes[path] = SceneTree(directory=d, scene=node_data)
+                for path, node in sorted(nodes.items(), key=lambda kv: len(kv[0])):
+                    parent = nodes.get(path[:-1])
+                    if parent is not None:
+                        parent.children.append(node)
+                for path, node in nodes.items():
+                    if len(path) == 1:
+                        node.write()
             mdir = os.path.join(results_dir, "metrics")
             for g in metrics_groups:
                 g.save_json(mdir)
@@ -449,6 +572,17 @@ class SceneOptimizer:
                 metrics_groups, os.path.join(results_dir, "gtsfm_metrics_report.html")
             )
             ProcessGraphGenerator().save_graph(os.path.join(results_dir, "process_graph.dot"))
+            if data.number_tracks() > 0:
+                # interactive orbit viewer + static 3D plot (reference: the
+                # Flask results browser visualization/app.py:10-40 and the
+                # per-run Open3D/matplotlib viz of cluster_mvo's I/O tasks)
+                from gtsfm_tpu.visualization.viewer import export_scene_html
+                from gtsfm_tpu.visualization.viz import plot_scene_3d
+
+                export_scene_html(data, os.path.join(results_dir, "viewer.html"))
+                plots_dir = os.path.join(results_dir, "plots")
+                os.makedirs(plots_dir, exist_ok=True)
+                plot_scene_3d(data, os.path.join(plots_dir, "scene_3d.png"))
             if dense_points is not None and len(dense_points):
                 from gtsfm_tpu.io.ply import write_ply
 
@@ -505,6 +639,13 @@ class SceneOptimizer:
             )
 
             self.global_descriptor = TinyImageDescriptor()
+        if self.options.use_cache:
+            from gtsfm_tpu.frontend.cachers import GlobalDescriptorCacher
+
+            if not isinstance(self.global_descriptor, GlobalDescriptorCacher):
+                self.global_descriptor = GlobalDescriptorCacher(
+                    self.global_descriptor, root=self.options.cache_root
+                )
         return self.global_descriptor
 
     # ------------------------------------------------------------------

@@ -47,3 +47,38 @@ def classify_tracks_by_gt(
     ok_obs = (err_px < reproj_threshold_px) & (np.asarray(depth) > 0)
     correct = np.all(ok_obs | ~valid_obs, axis=1) & (valid_obs.sum(axis=1) >= 2)
     return correct, np.where(valid_obs, err_px, np.nan)
+
+
+def tracks_from_sfm_data(data, gt_poses: SE3, max_obs_per_track: int = 12,
+                         reproj_threshold_px: float = 3.0):
+    """classify_tracks_by_gt over an SfmData's flat measurement arrays.
+
+    Converts the (M,) meas_cam/meas_track/meas_uv layout into track-major
+    (T, K) arrays (K = max_obs_per_track, extra observations dropped) and
+    classifies every valid track against the GT cameras. Returns
+    (correct bool (T_valid,), per-obs errors (T_valid, K))."""
+    mm = np.asarray(data.meas_mask)
+    mc = np.asarray(data.meas_cam)[mm]
+    mt = np.asarray(data.meas_track)[mm]
+    uv = np.asarray(data.meas_uv)[mm]
+    tmask = np.asarray(data.track_mask)
+    valid_tracks = np.flatnonzero(tmask)
+    remap = np.full(len(tmask), -1, np.int64)
+    remap[valid_tracks] = np.arange(len(valid_tracks))
+    T, K = len(valid_tracks), max_obs_per_track
+    track_cam = np.zeros((T, K), np.int32)
+    track_uv = np.zeros((T, K, 2), np.float32)
+    track_m = np.zeros((T, K), bool)
+    fill = np.zeros(T, np.int32)
+    for m in range(len(mc)):
+        t = remap[mt[m]]
+        if t < 0 or fill[t] >= K:
+            continue
+        track_cam[t, fill[t]] = mc[m]
+        track_uv[t, fill[t]] = uv[m]
+        track_m[t, fill[t]] = True
+        fill[t] += 1
+    return classify_tracks_by_gt(
+        gt_poses, data.cal, track_cam, track_uv, track_m,
+        reproj_threshold_px=reproj_threshold_px,
+    )
