@@ -225,6 +225,24 @@ def build_correspondence(cfg: Optional[dict]):
     if name == "detdesc":
         return None
     if name == "loftr":
+        # exact kornia-layout LoFTR (matchers/loftr.py); official
+        # outdoor_ds.ckpt / indoor_ds_new.ckpt load via weights_path
+        from gtsfm_tpu.frontend.correspondence import DenseCorrespondenceGenerator
+        from gtsfm_tpu.frontend.matchers.loftr import (
+            LoFTRMatcher,
+            LoFTROptions,
+            load_torch_weights,
+        )
+
+        weights_path = cfg.pop("weights_path", None)
+        opts = LoFTROptions(**cfg)
+        params = None
+        if weights_path:
+            params = load_torch_weights(weights_path, opts)["params"]
+        return DenseCorrespondenceGenerator(LoFTRMatcher(opts, params=params))
+    if name == "loftr_compact":
+        # the lightweight LoFTR-class net (matchers/dense_matcher.py) —
+        # cheap shape-testing variant, not checkpoint-loadable
         from gtsfm_tpu.frontend.correspondence import DenseCorrespondenceGenerator
         from gtsfm_tpu.frontend.matchers.dense_matcher import (
             DenseImageMatcher,

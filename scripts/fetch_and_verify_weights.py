@@ -80,6 +80,12 @@ CHECKPOINTS = {
         "PatchmatchNet DTU-trained checkpoint (the reference's pin)",
         None,
     ),
+    "loftr_outdoor": (
+        "http://cmp.felk.cvut.cz/~mishkdmy/models/loftr_outdoor.ckpt",
+        "gtsfm_tpu.frontend.matchers.loftr",
+        "LoFTR outdoor ds checkpoint (kornia's mirror of the ZJU release)",
+        None,
+    ),
     "netvlad": (
         "https://cvg-data.inf.ethz.ch/hloc/netvlad/Pitts30K_struct.mat",
         "gtsfm_tpu.frontend.global_descriptors.descriptors",
