@@ -75,6 +75,10 @@ class SceneOptimizerOptions(NamedTuple):
     # cluster_fast_vggt.py, cluster_anysplat.py, configs/vggt.yaml parity)
     cluster_optimizer: str = "mvo"  # mvo | vggt | fastvggt | anysplat
     feedforward_post_ba: bool = True
+    # feed-forward model slot: "compact" (weight-free architecture-class)
+    # or "vggt_exact" (the checkpoint-exact port, frontend/vggt.py)
+    feedforward_backbone: str = "compact"
+    vggt_weights_path: Optional[str] = None
     # content-addressed disk caching of detection + two-view stages — the
     # reference's cacher wrapping (configs/unified.yaml,
     # two_view_estimator_cacher.py:21-60); a re-run replays cached stages
@@ -385,7 +389,11 @@ class SceneOptimizer:
         t0 = time.perf_counter()
         images, sizes = loader.load_grayscale_batch()
         cal = batch_calibrations(loader.get_all_intrinsics())
-        ff_opts = ClusterFeedforwardOptions(run_post_ba=opts.feedforward_post_ba)
+        ff_opts = ClusterFeedforwardOptions(
+            run_post_ba=opts.feedforward_post_ba,
+            backbone=opts.feedforward_backbone,
+            vggt_weights_path=opts.vggt_weights_path or "",
+        )
         cls = ClusterFastFeedforward if opts.cluster_optimizer == "fastvggt" else ClusterFeedforward
         ff = cls(ff_opts)
         data, ff_metrics, (poses, depth, conf) = ff.run_raw(images, cal)

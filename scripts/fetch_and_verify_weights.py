@@ -80,6 +80,12 @@ CHECKPOINTS = {
         "PatchmatchNet DTU-trained checkpoint (the reference's pin)",
         None,
     ),
+    "vggt": (
+        "https://huggingface.co/facebook/VGGT-1B/resolve/main/model.pt",
+        "gtsfm_tpu.frontend.vggt",
+        "VGGT-1B (facebookresearch/vggt; the reference's feed-forward model)",
+        None,
+    ),
     "loftr_outdoor": (
         "http://cmp.felk.cvut.cz/~mishkdmy/models/loftr_outdoor.ckpt",
         "gtsfm_tpu.frontend.matchers.loftr",

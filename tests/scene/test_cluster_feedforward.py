@@ -85,3 +85,34 @@ def test_fast_global_attention_token_counts():
     assert track_feat.shape == (3, 3, 4, opts.track_dim)
     assert pose.shape == (3, 7) and depth.shape == (3, 48, 64)
     assert np.isfinite(np.asarray(pose)).all() and np.isfinite(np.asarray(depth)).all()
+
+
+def test_vggt_exact_backbone_through_pipeline():
+    """The checkpoint-exact VGGT port drives the feed-forward cluster
+    optimizer end-to-end (random reduced-dim weights; numerical exactness
+    is covered by tests/frontend/test_vggt_exact.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.geometry import Cal3Bundler
+    from gtsfm_tpu.scene.cluster_feedforward import (
+        ClusterFeedforward,
+        ClusterFeedforwardOptions,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 56, 56
+    images = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    cal = Cal3Bundler.create(
+        jnp.full(B, 100.0), jnp.zeros(B), jnp.zeros(B),
+        jnp.full(B, 28.0), jnp.full(B, 28.0),
+    )
+    ff = ClusterFeedforward(
+        ClusterFeedforwardOptions(backbone="vggt_exact", run_post_ba=False)
+    )
+    data, metrics, (poses, depth, conf) = ff.run_raw(images, cal)
+    assert depth.shape == (B, H, W)
+    assert np.isfinite(np.asarray(poses.t)).all()
+    assert data.number_images() <= B
+    # predicted intrinsics were adopted (VGGT's own K, vggt.py:862-874)
+    assert float(jnp.ptp(data.cal.fx)) >= 0.0
