@@ -173,6 +173,77 @@ def _ba_bench():
     return opts.max_iterations / dt, M
 
 
+def _ba_scale_bench():
+    """LM iterations/sec on the skydio-501 merge-BA regime: 512 cameras,
+    100k tracks, ~600k measurements, scatter (mesh-shardable) layout —
+    the problem size the reference runs on its self-hosted benchmark
+    (/root/reference/.github/workflows/benchmark-self-hosted.yml:20-31)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.bundle.ba import BAOptions, _optimize_jit, problem_from_sfm_data
+    from gtsfm_tpu.common.sfm_data import SfmData
+    from gtsfm_tpu.geometry import Cal3Bundler, SE3
+    from gtsfm_tpu.geometry.so3 import expmap
+
+    rng = np.random.default_rng(2)
+    n_cam, n_track, obs_per_track = 512, 100_000, 6
+    pts = rng.uniform(-10, 10, (n_track, 3)).astype(np.float32)
+    ang = np.linspace(0, 4 * np.pi, n_cam, endpoint=False)
+    centers = np.stack(
+        [30 * np.cos(ang), 30 * np.sin(ang), np.linspace(0, 10, n_cam)], 1
+    ).astype(np.float32)
+    Rws, ts = [], []
+    for c in centers:
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        R = np.stack([x, np.cross(z, x), z], 1).T
+        Rws.append(R)
+        ts.append(-R @ c)
+    Rws, ts = np.stack(Rws), np.stack(ts)
+
+    m_cam = rng.integers(0, n_cam, (n_track, obs_per_track))
+    meas_cam = m_cam.reshape(-1).astype(np.int32)
+    meas_track = np.repeat(np.arange(n_track, dtype=np.int32), obs_per_track)
+    pc = np.einsum("mij,mj->mi", Rws[meas_cam], pts[meas_track]) + ts[meas_cam]
+    uv = 500.0 * pc[:, :2] / np.maximum(pc[:, 2:3], 0.5) + 400.0
+    uv += rng.normal(0, 1.0, uv.shape)
+    M = meas_cam.shape[0]
+
+    cal = Cal3Bundler.create(
+        jnp.full(n_cam, 500.0), jnp.zeros(n_cam), jnp.zeros(n_cam),
+        jnp.full(n_cam, 400.0), jnp.full(n_cam, 400.0),
+    )
+    noise_rot = expmap(jnp.asarray(rng.normal(0, 0.01, (n_cam, 3)), jnp.float32))
+    poses = SE3(
+        R=jnp.einsum("nij,nkj->nik", noise_rot, jnp.asarray(Rws)),
+        t=jnp.asarray(centers + rng.normal(0, 0.05, centers.shape), jnp.float32),
+    )
+    data = SfmData(
+        poses=poses,
+        pose_mask=jnp.ones(n_cam, bool),
+        cal=cal,
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape), jnp.float32),
+        track_mask=jnp.ones(n_track, bool),
+        meas_cam=jnp.asarray(meas_cam),
+        meas_track=jnp.asarray(meas_track),
+        meas_uv=jnp.asarray(uv, jnp.float32),
+        meas_mask=jnp.ones(M, bool),
+    )
+    prob = problem_from_sfm_data(data, fixed_cam=jnp.arange(n_cam) == 0)
+    opts = BAOptions(max_iterations=20, cg_iterations=15, layout="scatter")
+
+    _, c0, cf, _ = _optimize_jit(prob, opts)  # compile
+    float(cf)
+    t0 = time.perf_counter()
+    _, c0, cf, _ = _optimize_jit(prob, opts)
+    float(cf)
+    dt = time.perf_counter() - t0
+    assert float(cf) < float(c0), "scale BA did not reduce cost"
+    return opts.max_iterations / dt, M
+
+
 def _door_bench():
     """Lund Door end-to-end via the production SceneOptimizer (DoG-SIFT
     weight-free front-end, res 480 — the integration-test config, which
@@ -289,14 +360,16 @@ def _deep_matcher_bench():
 
 
 def _splat_bench():
-    """Tile-binned gaussian rasterizer: ms/frame at 100k gaussians,
-    540x960 (the gsplat-class headline; brute-force is ~110x slower)."""
+    """Tile-binned gaussian rasterizer: DEVICE ms/frame at 100k gaussians,
+    540x960 (the gsplat-class headline). Timed with a fori_loop rendering
+    REP frames on-device — per-call host syncs would otherwise add the
+    ~33 ms axon-tunnel round trip to every frame."""
     import jax
     import jax.numpy as jnp
 
     from gtsfm_tpu.geometry import SE3
     from gtsfm_tpu.splat.gs_data import GSData
-    from gtsfm_tpu.splat.rendering import render_tiled
+    from gtsfm_tpu.splat.rendering import _render_tiled_impl
 
     rng = np.random.default_rng(0)
     G, H, W = 100_000, 540, 960
@@ -314,16 +387,23 @@ def _splat_bench():
     )
     wTc = SE3.identity(())
     K = jnp.asarray([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
-    img, _ = render_tiled(gs, wTc, K, H, W)
-    float(img.sum())
-    ts = []
-    for i in range(4):
-        g = gs.replace(opacity_logit=gs.opacity_logit + 1e-3 * i)
-        t0 = time.perf_counter()
-        img, _ = render_tiled(g, wTc, K, H, W)
-        float(img.sum())
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3
+    # rank bits for G=100k (matches the render_tiled wrapper's choice)
+    rank_bits = max(1, (G - 1).bit_length())
+    REP = 20
+
+    @jax.jit
+    def run_many(gs0):
+        def body(i, acc):
+            g = gs0.replace(opacity_logit=gs0.opacity_logit + 1e-6 * i + 1e-9 * acc)
+            img, _ = _render_tiled_impl(g, wTc, K, H, W, rank_bits=rank_bits)
+            return acc + jnp.sum(img)
+
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0.0))
+
+    float(run_many(gs))  # compile
+    t0 = time.perf_counter()
+    float(run_many(gs))
+    return (time.perf_counter() - t0) / REP * 1e3
 
 
 def main():
@@ -334,6 +414,7 @@ def main():
     pairs_per_sec, tflops, mfu_pct = _two_view_bench()
     lg_pairs_per_sec, lg_tflops = _deep_matcher_bench()
     ba_iters_per_sec, ba_meas = _ba_bench()
+    ba_scale_iters_per_sec, ba_scale_meas = _ba_scale_bench()
     door_cold, door_warm, parity = _door_bench()
     splat_ms = _splat_bench()
 
@@ -351,6 +432,8 @@ def main():
             "ba_lm_iters_per_sec": round(ba_iters_per_sec, 2),
             "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
             "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
+            "ba_scale_lm_iters_per_sec": round(ba_scale_iters_per_sec, 2),
+            "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, scatter/LM+PCG",
             "splat_tiled_ms_per_frame_100k": round(splat_ms, 1),
             "door_e2e_cold_sec": None if door_cold is None else round(door_cold, 1),
             "door_e2e_warm_sec": None if door_warm is None else round(door_warm, 1),

@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from gtsfm_tpu.geometry import SE3, so3
 from gtsfm_tpu.splat.gs_data import GSData
@@ -276,9 +277,12 @@ def _render_tiled_impl(
     key = jnp.where(
         dup_ok, tile_id * (1 << rank_bits) + rank[:, None], jnp.iinfo(jnp.int32).max
     ).reshape(-1)
-    sorted_idx = jnp.argsort(key)
-    sorted_key = key[sorted_idx]
-    sorted_gauss = (sorted_idx // max_dup).astype(jnp.int32)
+    # one multi-operand sort carries the gaussian index alongside the key
+    # (an argsort would pay a second (key, iota) pass + an extra gather)
+    gauss_of_dup = (
+        jnp.arange(G * max_dup, dtype=jnp.int32) // max_dup
+    )
+    sorted_key, sorted_gauss = jax.lax.sort((key, gauss_of_dup), num_keys=1)
     sorted_tile = sorted_key >> rank_bits  # invalid entries decode past n_tiles
 
     # per-tile segment [st, en) in the sorted order
@@ -290,26 +294,137 @@ def _render_tiled_impl(
     slot = jnp.minimum(slot, G * max_dup - 1)
     gidx = sorted_gauss[slot]  # (n_tiles, cap)
 
-    # gather per-tile gaussian attributes (n_tiles, cap)
-    t_xy = xy[gidx]
-    t_a = jnp.where(slot_ok, alpha[gidx], 0.0)
-    t_rgb = rgb[gidx]
-    t_i00 = inv00[gidx]
-    t_i01 = inv01[gidx]
-    t_i11 = inv11[gidx]
+    # gather per-tile gaussian attributes as ONE packed row gather (9
+    # contiguous f32 per row) instead of nine scalar gathers — gathers,
+    # not the sort, dominate the binning stage on TPU
+    packed = jnp.stack(
+        [xy[:, 0], xy[:, 1], alpha, rgb[:, 0], rgb[:, 1], rgb[:, 2],
+         inv00, inv01, inv11], axis=-1
+    )  # (G, 9)
+    t_attr = packed[gidx]  # (n_tiles, cap, 9)
+    t_xy = t_attr[..., 0:2]
+    t_a = jnp.where(slot_ok, t_attr[..., 2], 0.0)
+    t_rgb = t_attr[..., 3:6]
+    t_i00 = t_attr[..., 6]
+    t_i01 = t_attr[..., 7]
+    t_i11 = t_attr[..., 8]
 
-    # tile-local pixel coordinates (n_tiles, tile*tile)
+    P = th * tw
+    origins = jnp.stack(
+        [(tids % nx) * tw, (tids // nx) * th], axis=-1
+    ).astype(jnp.int32)
+    if jax.default_backend() == "tpu":
+        # Pallas per-tile kernel forward (compositing entirely in VMEM
+        # with gsplat's early saturation termination); gradients flow
+        # through the XLA formulation via the custom VJP
+        color, T = _composite_pallas_vjp(
+            t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, th
+        )
+    else:
+        color, T = _composite_tiles_xla(
+            t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, th
+        )
+    color = color + T[..., None] * bg
+
+    img = color.reshape(ny, nx, th, tw, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(ny * th, nx * tw, 3)[:height, :width]
+    am = (1.0 - T).reshape(ny, nx, th, tw).transpose(0, 2, 1, 3)
+    am = am.reshape(ny * th, nx * tw)[:height, :width]
+    return img, am
+
+
+# ---------------------------------------------------------------------------
+# Pallas tile compositing (the gsplat CUDA rasterize kernel, TPU-native)
+# ---------------------------------------------------------------------------
+
+
+_NT = 128  # tiles per grid program (one full lane row)
+
+
+def _composite_kernel(ax_ref, ay_ref, aa_ref, ar_ref, ag_ref, ab_ref,
+                      i00_ref, i01_ref, i11_ref, org_ref,
+                      cr_ref, cg_ref, cb_ref, t_ref, *, cap: int, tile: int):
+    """One grid program composites _NT tiles in parallel across the lane
+    axis: sequential front-to-back over the (depth-sorted) gaussian slot
+    axis, vectorized over (pixels x tiles) = (tile^2, _NT) registers, with
+    gsplat's early saturation termination. Attribute layout: (cap, _NT) —
+    slot g of every tile is one lane vector, so the inner loop is pure
+    (P, _NT) VPU math with no HBM traffic."""
+    P = tile * tile
+    CH = 8  # gaussian slots per chunk (one sublane tile of attributes)
+    n_chunks = cap // CH
+    ox = org_ref[0, :].astype(jnp.float32)  # (_NT,)
+    oy = org_ref[1, :].astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, _NT), 0)
+    pix_x = ox[None, :] + (pix % tile).astype(jnp.float32)
+    pix_y = oy[None, :] + (pix // tile).astype(jnp.float32)
+
+    def cond(carry):
+        c, T, _cr, _cg, _cb = carry
+        # a tile is live while it still has packed slots (alpha > 0 at the
+        # chunk head) AND is not saturated; empty/padded tiles (alpha 0
+        # everywhere) never stall the loop
+        s = jnp.minimum(c * CH, cap - 1)
+        has_work = aa_ref[s, :] > 0.0  # (_NT,)
+        t_alive = jnp.max(T, axis=0) > 1.0 / 255.0
+        return (c < n_chunks) & jnp.any(has_work & t_alive)
+
+    def body(carry):
+        c, T, cr, cg, cb = carry
+        s = c * CH
+        a_c = aa_ref[pl.ds(s, CH), :]  # (CH, _NT) single sublane-tile loads
+        x_c = ax_ref[pl.ds(s, CH), :]
+        y_c = ay_ref[pl.ds(s, CH), :]
+        r_c = ar_ref[pl.ds(s, CH), :]
+        g_c = ag_ref[pl.ds(s, CH), :]
+        b_c = ab_ref[pl.ds(s, CH), :]
+        i00_c = i00_ref[pl.ds(s, CH), :]
+        i01_c = i01_ref[pl.ds(s, CH), :]
+        i11_c = i11_ref[pl.ds(s, CH), :]
+        for j in range(CH):  # front-to-back within the chunk (unrolled)
+            dx = pix_x - x_c[j][None, :]  # (P, _NT)
+            dy = pix_y - y_c[j][None, :]
+            q = (
+                i00_c[j][None, :] * dx * dx
+                + 2.0 * i01_c[j][None, :] * dx * dy
+                + i11_c[j][None, :] * dy * dy
+            )
+            g_alpha = jnp.minimum(a_c[j][None, :] * jnp.exp(-0.5 * q), 0.995)
+            g_alpha = jnp.where(q < 16.0, g_alpha, 0.0)
+            w = g_alpha * T
+            cr = cr + w * r_c[j][None, :]
+            cg = cg + w * g_c[j][None, :]
+            cb = cb + w * b_c[j][None, :]
+            T = T * (1.0 - g_alpha)
+        return c + 1, T, cr, cg, cb
+
+    z = jnp.zeros((P, _NT), jnp.float32)
+    init = (jnp.int32(0), jnp.ones((P, _NT), jnp.float32), z, z, z)
+    _, T, cr, cg, cb = jax.lax.while_loop(cond, body, init)
+    cr_ref[:, :] = cr
+    cg_ref[:, :] = cg
+    cb_ref[:, :] = cb
+    t_ref[:, :] = T
+
+
+def _composite_tiles_xla(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
+                         origins, tile: int):
+    """XLA chunked-scan compositing (CPU path + the differentiable
+    formulation backing the Pallas kernel's custom VJP)."""
+    n_tiles, cap = t_a.shape
+    th = tw = tile
+    P = th * tw
     py, px = jnp.meshgrid(
         jnp.arange(th, dtype=jnp.float32), jnp.arange(tw, dtype=jnp.float32),
         indexing="ij",
     )
-    ox = (tids % nx).astype(jnp.float32) * tw
-    oy = (tids // nx).astype(jnp.float32) * th
+    ox = origins[:, 0].astype(jnp.float32)
+    oy = origins[:, 1].astype(jnp.float32)
     pix_x = ox[:, None] + px.reshape(-1)[None, :]  # (n_tiles, P)
     pix_y = oy[:, None] + py.reshape(-1)[None, :]
 
-    chunk = min(64, per_tile_cap)
-    n_chunks = per_tile_cap // chunk
+    chunk = min(64, cap)
+    n_chunks = cap // chunk
 
     def body(carry, c_idx):
         T, color = carry  # T (n_tiles, P); color (n_tiles, P, 3)
@@ -328,23 +443,85 @@ def _render_tiled_impl(
         cum = jnp.cumprod(one_m, axis=1)  # over the chunk (front-to-back)
         prefix = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
         w = g_alpha * prefix  # (n_tiles, chunk, P)
-        color = color + T[:, :, None] * jnp.einsum(
-            "tcp,tcd->tpd", w, sl(t_rgb)
-        )
+        color = color + T[:, :, None] * jnp.einsum("tcp,tcd->tpd", w, sl(t_rgb))
         T = T * cum[:, -1]
         return (T, color), None
 
-    P = th * tw
     T0 = jnp.ones((n_tiles, P))
     C0 = jnp.zeros((n_tiles, P, 3))
     (T, color), _ = jax.lax.scan(body, (T0, C0), jnp.arange(n_chunks))
-    color = color + T[..., None] * bg
+    return color, T
 
-    img = color.reshape(ny, nx, th, tw, 3).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(ny * th, nx * tw, 3)[:height, :width]
-    am = (1.0 - T).reshape(ny, nx, th, tw).transpose(0, 2, 1, 3)
-    am = am.reshape(ny * th, nx * tw)[:height, :width]
-    return img, am
+
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _composite_pallas_vjp(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins,
+                          tile: int):
+    return _composite_tiles_pallas(
+        t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, tile
+    )
+
+
+def _composite_vjp_fwd(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, tile):
+    out = _composite_tiles_pallas(
+        t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, tile
+    )
+    return out, (t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins)
+
+
+def _composite_vjp_bwd(tile, res, ct):
+    # backward through the mathematically-identical XLA scan (early
+    # termination only skips sub-1/255-transmittance tails, a <=0.4%
+    # forward difference that the loss gradient tolerates)
+    _, vjp = jax.vjp(lambda *a: _composite_tiles_xla(*a, tile=tile), *res)
+    return vjp(ct)
+
+
+_composite_pallas_vjp.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)
+
+
+def _composite_tiles_pallas(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
+                            origins, tile: int, interpret: bool = False):
+    """(n_tiles, cap) gathered attributes -> (n_tiles, P, 3) color +
+    (n_tiles, P) transmittance via the Pallas kernel (_NT tiles per
+    program, attributes transposed to (cap, n_tiles))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles, cap = t_a.shape
+    P = tile * tile
+    nt_pad = ((n_tiles + _NT - 1) // _NT) * _NT
+    pad = nt_pad - n_tiles
+
+    def prep(a):  # (n_tiles, cap) -> (cap, nt_pad)
+        a = a.T
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((cap, pad), a.dtype)], axis=1)
+        return a
+
+    ins = [
+        prep(t_xy[..., 0]), prep(t_xy[..., 1]), prep(t_a),
+        prep(t_rgb[..., 0]), prep(t_rgb[..., 1]), prep(t_rgb[..., 2]),
+        prep(t_i00), prep(t_i01), prep(t_i11),
+    ]
+    org = jnp.zeros((8, nt_pad), jnp.float32)
+    org = org.at[0, :n_tiles].set(origins[:, 0].astype(jnp.float32))
+    org = org.at[1, :n_tiles].set(origins[:, 1].astype(jnp.float32))
+
+    kern = partial(_composite_kernel, cap=cap, tile=tile)
+    attr_spec = pl.BlockSpec((cap, _NT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((P, _NT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cr, cg, cb, T = pl.pallas_call(
+        kern,
+        grid=(nt_pad // _NT,),
+        in_specs=[attr_spec] * 9 + [
+            pl.BlockSpec((8, _NT), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((P, nt_pad), jnp.float32)] * 4,
+        interpret=interpret,
+    )(*ins, org)
+    color = jnp.stack([cr, cg, cb], axis=-1).transpose(1, 0, 2)[:n_tiles]
+    return color, T.T[:n_tiles]
 
 
 def bspline_camera_path(wTi: SE3, num_frames: int) -> SE3:

@@ -75,3 +75,33 @@ def test_tiled_nonsquare_and_offsets():
     assert img.shape == (233, 317, 3)
     assert alpha.shape == (233, 317)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_pallas_composite_matches_xla():
+    """The Pallas per-tile compositing kernel (interpret mode on CPU;
+    compiled on real TPU) matches the XLA scan formulation that also backs
+    its custom VJP."""
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.splat.rendering import (
+        _composite_tiles_pallas,
+        _composite_tiles_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    n_tiles, cap, tile = 6, 64, 16
+    t_xy = jnp.asarray(rng.uniform(0, 64, (n_tiles, cap, 2)).astype(np.float32))
+    t_a = jnp.asarray(rng.uniform(0, 0.9, (n_tiles, cap)).astype(np.float32))
+    t_rgb = jnp.asarray(rng.uniform(0, 1, (n_tiles, cap, 3)).astype(np.float32))
+    i00 = jnp.asarray(rng.uniform(0.01, 0.3, (n_tiles, cap)).astype(np.float32))
+    i01 = jnp.asarray(rng.uniform(-0.05, 0.05, (n_tiles, cap)).astype(np.float32))
+    i11 = jnp.asarray(rng.uniform(0.01, 0.3, (n_tiles, cap)).astype(np.float32))
+    org = jnp.asarray((rng.integers(0, 3, (n_tiles, 2)) * 16).astype(np.int32))
+    c_x, T_x = _composite_tiles_xla(t_xy, t_a, t_rgb, i00, i01, i11, org, tile)
+    c_p, T_p = _composite_tiles_pallas(
+        t_xy, t_a, t_rgb, i00, i01, i11, org, tile, interpret=True
+    )
+    # early termination may skip sub-1/255-transmittance tails
+    assert float(jnp.abs(c_x - c_p).max()) < 5e-3
+    assert float(jnp.abs(T_x - T_p).max()) < 5e-3
+
