@@ -253,7 +253,9 @@ def _ba_scale_bench():
         meas_mask=jnp.ones(M, bool),
     )
     prob = problem_from_sfm_data(data, fixed_cam=jnp.arange(n_cam) == 0)
-    opts = BAOptions(max_iterations=20, cg_iterations=15, layout="scatter")
+    # entry = the single-chip big-N layout (measured 2.6x the scatter
+    # segment-sum formulation at this size; scatter exists for meshes)
+    opts = BAOptions(max_iterations=20, cg_iterations=15, layout="entry")
 
     _, c0, cf, _ = _optimize_jit(prob, opts)  # compile
     float(cf)
@@ -454,7 +456,7 @@ def main():
             "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
             "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
             "ba_scale_lm_iters_per_sec": round(ba_scale_iters_per_sec, 2),
-            "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, scatter/LM+PCG",
+            "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, entry/LM+PCG",
             "splat_tiled_ms_per_frame_100k": round(splat_ms, 1),
             "door_e2e_cold_sec": None if door_cold is None else round(door_cold, 1),
             "door_e2e_warm_sec": None if door_warm is None else round(door_warm, 1),

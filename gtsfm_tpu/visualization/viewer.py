@@ -122,3 +122,37 @@ def scan_results_and_build_index(results_root: str, output_path: str) -> list:
             f.write(f'<li><a href="{href}">{rel}</a> ({ntracks} tracks)</li>')
         f.write("</ul></body></html>")
     return scenes
+
+
+def main(argv=None):
+    """CLI: view a COLMAP-format reconstruction or scan a results tree.
+
+    Parity: the reference's view_scene.py scripts + the Flask results
+    browser entry point (visualization/app.py:10-40).
+
+        python -m gtsfm_tpu.visualization.viewer <colmap_dir> [out.html]
+        python -m gtsfm_tpu.visualization.viewer --scan <results_root> [index.html]
+    """
+    import argparse
+
+    from gtsfm_tpu.io import colmap as colmap_io
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("path", help="COLMAP dir (or results root with --scan)")
+    ap.add_argument("output", nargs="?", default=None)
+    ap.add_argument("--scan", action="store_true",
+                    help="scan a results tree and build an index page")
+    args = ap.parse_args(argv)
+    if args.scan:
+        out = args.output or os.path.join(args.path, "index.html")
+        entries = scan_results_and_build_index(args.path, out)
+        print(f"indexed {len(entries)} scenes -> {out}")
+    else:
+        out = args.output or os.path.join(args.path, "viewer.html")
+        export_scene_html(colmap_io.read_scene(args.path), out)
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,13 @@ def test_viewer_and_viz(tmp_path):
     assert len(scenes) == 1
     assert (tmp_path / "index.html").exists()
 
+    # CLI entry point (view_scene.py / Flask app parity)
+    from gtsfm_tpu.visualization import viewer as viewer_cli
+
+    assert viewer_cli.main([str(tmp_path / "results" / "ba_output")]) == 0
+    assert (tmp_path / "results" / "ba_output" / "viewer.html").exists()
+    assert viewer_cli.main(["--scan", str(tmp_path / "results")]) == 0
+
 
 def test_synthetic_correspondences_end_to_end():
     """Synthetic front-end drives the MVO back-end (noise-free)."""
