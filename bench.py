@@ -410,8 +410,10 @@ def _splat_bench():
     )
     wTc = SE3.identity(())
     K = jnp.asarray([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
-    # rank bits for G=100k (matches the render_tiled wrapper's choice)
-    rank_bits = max(1, (G - 1).bit_length())
+    # depth-quantization bits (matches the render_tiled wrapper's choice:
+    # the tile grid takes the high bits, depth the rest)
+    n_tiles = -(-H // 16) * -(-W // 16)
+    rank_bits = 31 - max(1, (n_tiles + 2).bit_length())
     REP = 20
 
     @jax.jit

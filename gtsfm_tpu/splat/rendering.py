@@ -30,7 +30,13 @@ def _quat_to_R(q: jnp.ndarray) -> jnp.ndarray:
 
 def project_gaussians(gs: GSData, wTc: SE3, K: jnp.ndarray):
     """EWA projection. Returns (xy (G, 2), cov2d (G, 2, 2), depth (G,),
-    alpha (G,), rgb (G, 3))."""
+    alpha (G,), rgb (G, 3)).
+
+    The J Σ Jᵀ chain is fully unrolled into (G,)-vector lane math: batched
+    (G, 3, 3) matmuls pad each 3-wide contraction onto 128-wide MXU tiles
+    (measured 7 ms at G=100k on v5e); the unrolled form is pure VPU and
+    runs in well under 1 ms.
+    """
     cTw = wTc.inverse()
     p_cam = cTw.transform(gs.means)  # (G, 3)
     z = p_cam[..., 2]
@@ -41,26 +47,30 @@ def project_gaussians(gs: GSData, wTc: SE3, K: jnp.ndarray):
     y = p_cam[..., 1] / z_safe
     xy = jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
 
-    # 3D covariance: R S S^T R^T
+    # A = R_cam_world @ R_gauss, unrolled over the shared 3x3 (27 fma on
+    # (G,) lanes); rows of A as three (G, 3) tuples
     Rg = _quat_to_R(gs.quats)  # (G, 3, 3)
-    S = jnp.exp(gs.log_scales)  # (G, 3)
-    M = Rg * S[:, None, :]
-    cov3d = mm(M, jnp.swapaxes(M, -1, -2))
-    # camera-frame cov
-    Wr = cTw.R  # (3, 3)
-    cov_cam = mm(mm(jnp.broadcast_to(Wr, cov3d.shape), cov3d), jnp.broadcast_to(Wr.T, cov3d.shape))
-    # perspective Jacobian (2, 3) per gaussian
-    zero = jnp.zeros_like(z_safe)
-    J = jnp.stack(
+    Wr = cTw.R  # (3, 3) shared
+    A = [
         [
-            jnp.stack([fx / z_safe, zero, -fx * x / z_safe], -1),
-            jnp.stack([zero, fy / z_safe, -fy * y / z_safe], -1),
-        ],
-        axis=-2,
-    )  # (G, 2, 3)
-    cov2d = mm(mm(J, cov_cam), jnp.swapaxes(J, -1, -2))
-    # low-pass (anti-alias) dilation as in EWA/3DGS
-    cov2d = cov2d + 0.3 * jnp.eye(2)
+            Wr[i, 0] * Rg[:, 0, k] + Wr[i, 1] * Rg[:, 1, k] + Wr[i, 2] * Rg[:, 2, k]
+            for k in range(3)
+        ]
+        for i in range(3)
+    ]
+    # B = J @ A with J = [[fx/z, 0, -fx x/z], [0, fy/z, -fy y/z]]
+    j0, j2x = fx / z_safe, fx * x / z_safe
+    j1, j2y = fy / z_safe, fy * y / z_safe
+    B0 = [j0 * A[0][k] - j2x * A[2][k] for k in range(3)]
+    B1 = [j1 * A[1][k] - j2y * A[2][k] for k in range(3)]
+    # cov2d = B diag(s^2) Bᵀ + 0.3 I (low-pass / anti-alias dilation)
+    s2 = jnp.exp(2.0 * gs.log_scales)  # (G, 3)
+    c00 = sum(B0[k] * B0[k] * s2[:, k] for k in range(3)) + 0.3
+    c01 = sum(B0[k] * B1[k] * s2[:, k] for k in range(3))
+    c11 = sum(B1[k] * B1[k] * s2[:, k] for k in range(3)) + 0.3
+    cov2d = jnp.stack(
+        [jnp.stack([c00, c01], -1), jnp.stack([c01, c11], -1)], axis=-2
+    )  # (G, 2, 2)
 
     alpha = jax.nn.sigmoid(gs.opacity_logit) * gs.alive
     rgb = jax.nn.sigmoid(gs.colors)
@@ -154,27 +164,32 @@ def render_tiled(
     bg: float = 0.0,
     tile: int = 16,
     per_tile_cap: int = 512,
-    max_dup: int = 16,
+    max_dup: int = 9,
 ):
     """Tile-binned rasterization (public wrapper).
 
-    The sort key packs (tile_id, depth_rank) into int32 (x64 is disabled
-    under jit), so the bit split is chosen per problem: rank gets
-    ceil(log2(G)) bits and the tile grid the rest. Large frames with many
-    gaussians get coarser tiles (same total pixel work) instead of a
-    trace-time crash; if even 128px tiles don't fit, fall back to the
-    dense render().
+    The sort key packs (tile_id, quantized_depth) into int32 (x64 is
+    disabled under jit): the tile grid takes ceil(log2(n_tiles + 2)) high
+    bits and depth the remaining low bits, as the top `rank_bits` bits of
+    the f32 depth's bit pattern — monotone for positive floats, so no
+    argsort/rank pass is needed and the key budget is independent of G.
+    Depths equal in the top ~12-22 bits (relative gap below ~2^-4 of a
+    binade) composite in gaussian-index order instead of exact depth
+    order — an invisible reordering of near-coincident splats.
+
+    max_dup bounds the binning sort to G*max_dup keys; the default 3x3
+    window is lossless for any footprint spanning <= 3 tiles per axis
+    (everything in a converged reconstruction — at 100k gaussians the
+    p100 span is 3) and drops only the far halo of larger footprints
+    (the window stays centered where alpha is largest). Raise it for
+    scenes with huge near-camera gaussians.
     """
-    G = gs.max_gaussians
-    rank_bits = max(1, (max(G, 2) - 1).bit_length())
-    while True:
-        ny = -(-height // tile)
-        nx = -(-width // tile)
-        # strictly below the reserved invalid-tile decode value
-        if ny * nx < (1 << (31 - rank_bits)) - 1 or tile >= 128:
-            break
-        tile *= 2
-    if ny * nx >= (1 << (31 - rank_bits)) - 1:
+    ny = -(-height // tile)
+    nx = -(-width // tile)
+    # tile ids must stay strictly below the reserved invalid decode value
+    tile_bits = max(1, (ny * nx + 2).bit_length())
+    rank_bits = 31 - tile_bits
+    if rank_bits < 8:  # absurd grid (> ~8M tiles): dense fallback
         return render(gs, wTc, K, height, width, bg=bg)
     return _render_tiled_impl(
         gs, wTc, K, height, width, bg=bg, tile=tile,
@@ -195,7 +210,7 @@ def _render_tiled_impl(
     bg: float = 0.0,
     tile: int = 16,
     per_tile_cap: int = 512,
-    max_dup: int = 16,
+    max_dup: int = 9,
     rank_bits: int = 20,
 ):
     """Tile-binned rasterization — the gsplat algorithm, XLA-native.
@@ -206,26 +221,28 @@ def _render_tiled_impl(
     composites only the gaussians whose 3-sigma bbox overlaps it —
     ~100-1000x less math at 100k-1M gaussians. TPU mapping:
 
-      * binning = ONE device-wide sort of (tile_id, depth-rank) packed
-        int32 keys over G*max_dup duplicated entries (no atomics/scatter:
-        the CUDA kernel's per-tile atomic lists become a sort + two
-        searchsorted boundary lookups);
+      * binning = ONE device-wide sort of (tile_id, quantized-depth)
+        packed int32 keys over G*max_dup duplicated entries (no atomics/
+        scatter: the CUDA kernel's per-tile atomic lists become a sort +
+        two searchsorted boundary lookups). Depth enters the key as the
+        top rank_bits of the f32 bit pattern (monotone for positive
+        floats) — no argsort/rank pass, and key capacity is independent
+        of G;
       * each tile takes its first per_tile_cap gaussians front-to-back
         (the CUDA kernel's early saturation termination becomes a static
         cap — farther gaussians behind an almost-opaque prefix);
-      * compositing is a lax.scan over capacity chunks of a dense
-        (n_tiles, chunk, tile*tile) tensor — tiles ride the batch axis,
-        the 256 tile pixels ride the lanes.
+      * compositing runs in a Pallas kernel on TPU (tiles across lanes,
+        VMEM-resident attributes) and a lax.scan over capacity chunks of
+        a dense (n_tiles, chunk, tile*tile) tensor elsewhere.
 
-    Constraints (asserted): rank fits rank_bits and the tile grid fits
-    the remaining 31 - rank_bits key bits (the wrapper guarantees both).
+    Constraint (asserted): the tile grid fits the 31 - rank_bits high key
+    bits (the wrapper guarantees it).
     """
     th = tw = tile
     ny = (height + th - 1) // th
     nx = (width + tw - 1) // tw
     n_tiles = ny * nx
     G = gs.max_gaussians
-    assert G <= (1 << rank_bits), "render_tiled: G must fit the rank bits"
     # the top tile decode value is reserved: invalid duplicate slots carry
     # key int32-max, whose high bits sort after every real tile
     assert n_tiles < (1 << (31 - rank_bits)) - 1, "render_tiled: tile grid must fit key bits"
@@ -271,11 +288,17 @@ def _render_tiled_impl(
     tile_id = (tile_y * nx + tile_x).reshape(G, max_dup)
     dup_ok = (dup_ok.reshape(G, max_dup) & visible[:, None])
 
-    # depth rank (front first) shared by all duplicates of a gaussian
-    order = jnp.argsort(jnp.where(visible, z, jnp.inf))
-    rank = jnp.zeros(G, jnp.int32).at[order].set(jnp.arange(G, dtype=jnp.int32))
+    # quantized depth (front first) shared by all duplicates: the top
+    # rank_bits of the positive-f32 bit pattern are monotone in z, so the
+    # argsort + rank-scatter pass of a rank-based key is unnecessary; ties
+    # (relative depth gap below the kept mantissa bits) fall back to
+    # stable gaussian-index order
+    zbits = jax.lax.bitcast_convert_type(jnp.maximum(z, 1e-30), jnp.int32)
+    depth_q = jax.lax.shift_right_logical(zbits, 31 - rank_bits)
     key = jnp.where(
-        dup_ok, tile_id * (1 << rank_bits) + rank[:, None], jnp.iinfo(jnp.int32).max
+        dup_ok,
+        tile_id * (1 << rank_bits) + depth_q[:, None],
+        jnp.iinfo(jnp.int32).max,
     ).reshape(-1)
     # one multi-operand sort carries the gaussian index alongside the key
     # (an argsort would pay a second (key, iota) pass + an extra gather)
@@ -290,39 +313,30 @@ def _render_tiled_impl(
     st = jnp.searchsorted(sorted_tile, tids, side="left")
     en = jnp.searchsorted(sorted_tile, tids, side="right")
     slot = st[:, None] + jnp.arange(per_tile_cap, dtype=jnp.int32)[None, :]
-    slot_ok = slot < en[:, None]
     slot = jnp.minimum(slot, G * max_dup - 1)
     gidx = sorted_gauss[slot]  # (n_tiles, cap)
 
-    # gather per-tile gaussian attributes as ONE packed row gather (9
-    # contiguous f32 per row) instead of nine scalar gathers — gathers,
-    # not the sort, dominate the binning stage on TPU
+    # per-tile gaussian attributes travel as ONE packed row per gaussian —
+    # the (n_tiles*cap)-row gather, not the sort, dominates binning on TPU
+    # and its cost scales with gathered ELEMENT count
     packed = jnp.stack(
         [xy[:, 0], xy[:, 1], alpha, rgb[:, 0], rgb[:, 1], rgb[:, 2],
          inv00, inv01, inv11], axis=-1
     )  # (G, 9)
-    t_attr = packed[gidx]  # (n_tiles, cap, 9)
-    t_xy = t_attr[..., 0:2]
-    t_a = jnp.where(slot_ok, t_attr[..., 2], 0.0)
-    t_rgb = t_attr[..., 3:6]
-    t_i00 = t_attr[..., 6]
-    t_i01 = t_attr[..., 7]
-    t_i11 = t_attr[..., 8]
+    counts = jnp.clip(en - st, 0, per_tile_cap).astype(jnp.int32)
 
-    P = th * tw
     origins = jnp.stack(
         [(tids % nx) * tw, (tids // nx) * th], axis=-1
     ).astype(jnp.int32)
     if jax.default_backend() == "tpu":
-        # Pallas per-tile kernel forward (compositing entirely in VMEM
-        # with gsplat's early saturation termination); gradients flow
-        # through the XLA formulation via the custom VJP
-        color, T = _composite_pallas_vjp(
-            t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, th
-        )
+        # Pallas per-tile kernel forward: the gather moves 2 f32 + 4
+        # bf16-pair int32 elements per row (vs 9 f32) and compositing runs
+        # entirely in VMEM with gsplat's early saturation termination;
+        # gradients flow through the f32 XLA formulation via custom VJP
+        color, T = _tiled_composite(packed, gidx, counts, origins, th)
     else:
         color, T = _composite_tiles_xla(
-            t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, th
+            *_gather_attrs_f32(packed, gidx, counts), origins, th
         )
     color = color + T[..., None] * bg
 
@@ -340,47 +354,74 @@ def _render_tiled_impl(
 
 _NT = 128  # tiles per grid program (one full lane row)
 
+_HI_MASK = -65536  # 0xFFFF0000 as a python int (a jnp scalar here would be
+# captured as a pallas-kernel constant, which pallas_call rejects)
 
-def _composite_kernel(ax_ref, ay_ref, aa_ref, ar_ref, ag_ref, ab_ref,
-                      i00_ref, i01_ref, i11_ref, org_ref,
-                      cr_ref, cg_ref, cb_ref, t_ref, *, cap: int, tile: int):
+
+def _bf16_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> int32 bit pattern rounded to bf16 (low 16 bits zero)."""
+    b = jax.lax.bitcast_convert_type(v, jnp.int32)
+    b = b + 0x7FFF + ((b >> 16) & 1)  # round to nearest even
+    return b & _HI_MASK
+
+
+def _pack2(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 -> one int32 carrying (bf16(hi) | bf16(lo) >> 16)."""
+    return _bf16_bits(hi) | jax.lax.shift_right_logical(_bf16_bits(lo), 16)
+
+
+def _unpack2(p: jnp.ndarray) -> tuple:
+    """int32 -> (hi f32, lo f32): exact expansion of the two bf16 halves."""
+    hi = jax.lax.bitcast_convert_type(p & _HI_MASK, jnp.float32)
+    lo = jax.lax.bitcast_convert_type(jax.lax.shift_left(p, 16), jnp.float32)
+    return hi, lo
+
+
+def _composite_kernel(ax_ref, ay_ref, aa_ref, p0_ref, p1_ref, p2_ref,
+                      org_ref, cr_ref, cg_ref, cb_ref, t_ref,
+                      *, cap: int, tile: int):
     """One grid program composites _NT tiles in parallel across the lane
     axis: sequential front-to-back over the (depth-sorted) gaussian slot
     axis, vectorized over (pixels x tiles) = (tile^2, _NT) registers, with
     gsplat's early saturation termination. Attribute layout: (cap, _NT) —
     slot g of every tile is one lane vector, so the inner loop is pure
-    (P, _NT) VPU math with no HBM traffic."""
+    (P, _NT) VPU math with no HBM traffic. xy and alpha ride as f32
+    (alpha quantization would compound through the transmittance
+    product); (r, g), (b, i00), (i01, i11) ride as bf16 pairs packed in
+    int32 and are expanded lanewise with bitcast/shift — cutting the
+    upstream gather's element count from 9 to 6 per row."""
     P = tile * tile
     CH = 8  # gaussian slots per chunk (one sublane tile of attributes)
     n_chunks = cap // CH
     ox = org_ref[0, :].astype(jnp.float32)  # (_NT,)
     oy = org_ref[1, :].astype(jnp.float32)
+    count = org_ref[2, :]  # valid slots per tile (int32)
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, _NT), 0)
     pix_x = ox[None, :] + (pix % tile).astype(jnp.float32)
     pix_y = oy[None, :] + (pix // tile).astype(jnp.float32)
 
     def cond(carry):
         c, T, _cr, _cg, _cb = carry
-        # a tile is live while it still has packed slots (alpha > 0 at the
-        # chunk head) AND is not saturated; empty/padded tiles (alpha 0
-        # everywhere) never stall the loop
-        s = jnp.minimum(c * CH, cap - 1)
-        has_work = aa_ref[s, :] > 0.0  # (_NT,)
+        # a tile is live while it still has valid slots AND is not
+        # saturated; empty/padded tiles (count 0) never stall the loop
+        has_work = (c * CH) < count  # (_NT,)
         t_alive = jnp.max(T, axis=0) > 1.0 / 255.0
         return (c < n_chunks) & jnp.any(has_work & t_alive)
 
     def body(carry):
         c, T, cr, cg, cb = carry
         s = c * CH
-        a_c = aa_ref[pl.ds(s, CH), :]  # (CH, _NT) single sublane-tile loads
-        x_c = ax_ref[pl.ds(s, CH), :]
+        x_c = ax_ref[pl.ds(s, CH), :]  # (CH, _NT) single sublane-tile loads
         y_c = ay_ref[pl.ds(s, CH), :]
-        r_c = ar_ref[pl.ds(s, CH), :]
-        g_c = ag_ref[pl.ds(s, CH), :]
-        b_c = ab_ref[pl.ds(s, CH), :]
-        i00_c = i00_ref[pl.ds(s, CH), :]
-        i01_c = i01_ref[pl.ds(s, CH), :]
-        i11_c = i11_ref[pl.ds(s, CH), :]
+        a_c = aa_ref[pl.ds(s, CH), :]
+        r_c, g_c = _unpack2(p0_ref[pl.ds(s, CH), :])
+        b_c, i00_c = _unpack2(p1_ref[pl.ds(s, CH), :])
+        i01_c, i11_c = _unpack2(p2_ref[pl.ds(s, CH), :])
+        a_c = jnp.where(
+            (s + jax.lax.broadcasted_iota(jnp.int32, (CH, _NT), 0))
+            < count[None, :],
+            a_c, 0.0,
+        )
         for j in range(CH):  # front-to-back within the chunk (unrolled)
             dx = pix_x - x_c[j][None, :]  # (P, _NT)
             dy = pix_y - y_c[j][None, :]
@@ -453,44 +494,79 @@ def _composite_tiles_xla(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
     return color, T
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _composite_pallas_vjp(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins,
-                          tile: int):
-    return _composite_tiles_pallas(
-        t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, tile
-    )
+def _gather_attrs_f32(packed, gidx, counts):
+    """f32 reference gather: (G, 9) rows -> per-tile (n_tiles, cap)
+    attribute tables for the XLA compositing formulation (CPU forward and
+    the custom VJP's backward)."""
+    cap = gidx.shape[1]
+    t_attr = packed[gidx]  # (n_tiles, cap, 9)
+    slot_ok = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    t_a = jnp.where(slot_ok, t_attr[..., 2], 0.0)
+    return (t_attr[..., 0:2], t_a, t_attr[..., 3:6], t_attr[..., 6],
+            t_attr[..., 7], t_attr[..., 8])
 
 
-def _composite_vjp_fwd(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, tile):
-    out = _composite_tiles_pallas(
-        t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins, tile
-    )
-    return out, (t_xy, t_a, t_rgb, t_i00, t_i01, t_i11, origins)
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _tiled_composite(packed, gidx, counts, origins, tile: int):
+    """(G, 9) per-gaussian attributes + per-tile slot indices -> composited
+    (n_tiles, P, 3) color + (n_tiles, P) transmittance.
+
+    The custom-VJP boundary sits ABOVE the gather so the TPU forward can
+    gather bf16-packed attributes (6 int32-equivalent elements per row vs
+    9 f32 — gather cost scales with element count); the backward re-runs
+    the f32 gather + XLA scan and differentiates through both."""
+    return _composite_tiles_pallas(packed, gidx, counts, origins, tile)
 
 
-def _composite_vjp_bwd(tile, res, ct):
+def _tiled_composite_fwd(packed, gidx, counts, origins, tile):
+    out = _composite_tiles_pallas(packed, gidx, counts, origins, tile)
+    return out, (packed, gidx, counts, origins)
+
+
+def _tiled_composite_bwd(tile, res, ct):
     # backward through the mathematically-identical XLA scan (early
-    # termination only skips sub-1/255-transmittance tails, a <=0.4%
-    # forward difference that the loss gradient tolerates)
-    _, vjp = jax.vjp(lambda *a: _composite_tiles_xla(*a, tile=tile), *res)
-    return vjp(ct)
+    # termination only skips sub-1/255-transmittance tails and the bf16
+    # attribute quantization is <= 0.2% — differences the loss gradient
+    # tolerates)
+    packed, gidx, counts, origins = res
+    _, vjp = jax.vjp(
+        lambda p: _composite_tiles_xla(
+            *_gather_attrs_f32(p, gidx, counts), origins, tile
+        ),
+        packed,
+    )
+    (d_packed,) = vjp(ct)
+    return d_packed, None, None, None
 
 
-_composite_pallas_vjp.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)
+_tiled_composite.defvjp(_tiled_composite_fwd, _tiled_composite_bwd)
 
 
-def _composite_tiles_pallas(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
-                            origins, tile: int, interpret: bool = False):
-    """(n_tiles, cap) gathered attributes -> (n_tiles, P, 3) color +
-    (n_tiles, P) transmittance via the Pallas kernel (_NT tiles per
-    program, attributes transposed to (cap, n_tiles))."""
+def _composite_tiles_pallas(packed, gidx, counts, origins, tile: int,
+                            interpret: bool = False):
+    """Pack -> gather -> Pallas kernel (_NT tiles per program, attributes
+    transposed to (cap, n_tiles))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_tiles, cap = t_a.shape
+    n_tiles, cap = gidx.shape
     P = tile * tile
     nt_pad = ((n_tiles + _NT - 1) // _NT) * _NT
     pad = nt_pad - n_tiles
+
+    # bf16-pair packing per gaussian, BEFORE the big gather (xy and alpha
+    # stay f32: alpha quantization compounds through the transmittance)
+    xya = packed[:, 0:3]  # f32 (G, 3): x, y, alpha
+    pk = jnp.stack(
+        [
+            _pack2(packed[:, 3], packed[:, 4]),  # (r, g)
+            _pack2(packed[:, 5], packed[:, 6]),  # (b, i00)
+            _pack2(packed[:, 7], packed[:, 8]),  # (i01, i11)
+        ],
+        axis=-1,
+    )  # int32 (G, 3)
+    t_xya = xya[gidx]  # (n_tiles, cap, 3)
+    t_pk = pk[gidx]  # (n_tiles, cap, 3)
 
     def prep(a):  # (n_tiles, cap) -> (cap, nt_pad)
         a = a.T
@@ -499,13 +575,13 @@ def _composite_tiles_pallas(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
         return a
 
     ins = [
-        prep(t_xy[..., 0]), prep(t_xy[..., 1]), prep(t_a),
-        prep(t_rgb[..., 0]), prep(t_rgb[..., 1]), prep(t_rgb[..., 2]),
-        prep(t_i00), prep(t_i01), prep(t_i11),
+        prep(t_xya[..., 0]), prep(t_xya[..., 1]), prep(t_xya[..., 2]),
+        prep(t_pk[..., 0]), prep(t_pk[..., 1]), prep(t_pk[..., 2]),
     ]
-    org = jnp.zeros((8, nt_pad), jnp.float32)
-    org = org.at[0, :n_tiles].set(origins[:, 0].astype(jnp.float32))
-    org = org.at[1, :n_tiles].set(origins[:, 1].astype(jnp.float32))
+    org = jnp.zeros((8, nt_pad), jnp.int32)
+    org = org.at[0, :n_tiles].set(origins[:, 0])
+    org = org.at[1, :n_tiles].set(origins[:, 1])
+    org = org.at[2, :n_tiles].set(counts)
 
     kern = partial(_composite_kernel, cap=cap, tile=tile)
     attr_spec = pl.BlockSpec((cap, _NT), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -513,7 +589,7 @@ def _composite_tiles_pallas(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
     cr, cg, cb, T = pl.pallas_call(
         kern,
         grid=(nt_pad // _NT,),
-        in_specs=[attr_spec] * 9 + [
+        in_specs=[attr_spec] * 6 + [
             pl.BlockSpec((8, _NT), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=[out_spec] * 4,
