@@ -181,6 +181,44 @@ def nullvec_pinned_scalarized(AtA: jnp.ndarray) -> jnp.ndarray:
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-20)
 
 
+def nullvec_pinned_from_rows(A8: jnp.ndarray) -> jnp.ndarray:
+    """nullvec_pinned_scalarized fed directly from the (..., 8, 9) sample
+    rows: builds the 9x9 normal matrix AND solves it entirely in unstacked
+    (batch,)-array lane math.
+
+    Going through an einsum("...kr,...ks->...rs") first hands XLA tens of
+    thousands of 9x9-by-8 matmuls, which pad onto 128-wide MXU tiles and
+    dominate the whole RANSAC verifier (measured ~30 ms per 65k-hypothesis
+    batch on v5e vs ~2 ms for this formulation). Only the entries the
+    pinned solve actually reads are built: the leading 8x8 block's upper
+    triangle (symmetric) and the pinned column."""
+    m = 8
+    a = [[A8[..., k, j] for j in range(9)] for k in range(m)]
+    # M = [B | -b]: B = AtA[:8, :8] (symmetric), b = AtA[:8, 8]
+    ent = {}
+    for i in range(m):
+        for j in range(i, m):
+            ent[(i, j)] = sum(a[k][i] * a[k][j] for k in range(m))
+    col = [-sum(a[k][i] * a[k][8] for k in range(m)) for i in range(m)]
+    M = [
+        [ent[(i, j)] if i <= j else ent[(j, i)] for j in range(m)] + [col[i]]
+        for i in range(m)
+    ]
+    for k in range(m):
+        piv = M[k][k]
+        inv = jnp.where(jnp.abs(piv) > 1e-30, 1.0 / jnp.where(piv == 0, 1.0, piv), 1e30)
+        row_k = [M[k][j] * inv for j in range(m + 1)]
+        for i in range(m):
+            if i == k:
+                M[i] = row_k
+            else:
+                f = M[i][k]
+                M[i] = [M[i][j] - f * row_k[j] for j in range(m + 1)]
+    y = jnp.stack([M[i][m] for i in range(m)], axis=-1)
+    e = jnp.concatenate([y, jnp.ones(y.shape[:-1] + (1,), y.dtype)], axis=-1)
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-20)
+
+
 def ceil_pow2(n: int, floor: int = 1) -> int:
     """Next power of two >= max(n, floor). Shape-bucketing helper: padding
     data-dependent axes to pow2 buckets lets XLA reuse one compiled
