@@ -30,8 +30,9 @@ one-to-one:
 The uv-grid positional embedding inside the public DPT head is
 parameter-free and NOT reproduced here (pos_embed=False both sides of
 the exactness test); enable-and-golden-check it when the real
-checkpoint is reachable. The CoTracker-style track head is served by the
-architecture-class tracking head in frontend/feedforward.py.
+checkpoint is reachable. The CoTracker-style track head is the exact
+port in frontend/vggt_track.py (converted alongside when track_head.*
+keys are present; VGGTModel.track()).
 
 load_torch_weights() consumes the public model.state_dict() naming
 (aggregator.patch_embed.* / aggregator.frame_blocks.N.* /
@@ -353,10 +354,16 @@ def _fusion_block(p, x, skip=None, out_hw=None):
 
 
 def dpt_head_forward(params: dict, outputs: list, patch_start: int,
-                     image_hw, opts: VGGTOptions, activation: str = "exp"):
+                     image_hw, opts: VGGTOptions, activation: str = "exp",
+                     down_ratio: int = 1):
     """DPT fusion over 4 intermediate aggregator layers -> per-pixel
     (value, confidence) at full image resolution
-    (vggt/heads/dpt_head.py, the DepthAnything DPT family)."""
+    (vggt/heads/dpt_head.py, the DepthAnything DPT family).
+
+    activation="features" is the head's feature_only mode (the track
+    head's feature extractor): the fused pyramid stops after
+    output_conv1, resized to (H, W) / down_ratio, and returns feature
+    maps instead of (value, confidence)."""
     o = opts
     H, W = image_hw
     gh, gw = H // o.patch_size, W // o.patch_size
@@ -384,7 +391,11 @@ def dpt_head_forward(params: dict, outputs: list, patch_start: int,
     path2 = _fusion_block(p["refinenet2"], path3, l2, out_hw=(l1.shape[1], l1.shape[2]))
     path1 = _fusion_block(p["refinenet1"], path2, l1)
     out = _conv2d(path1, params["output_conv1"])
-    out = _interp_bilinear_ac(out, gh * o.patch_size, gw * o.patch_size)
+    out = _interp_bilinear_ac(
+        out, gh * o.patch_size // down_ratio, gw * o.patch_size // down_ratio
+    )
+    if activation == "features":
+        return out
     out = _conv2d(out, params["output_conv2_0"])
     out = jax.nn.relu(out)
     out = _conv2d(out, params["output_conv2_2"], padding="VALID")
@@ -416,6 +427,7 @@ class VGGTModel:
             jax.random.PRNGKey(seed), options
         )
         self._fwd = jax.jit(partial(_vggt_forward, opts=self.options))
+        self._fwd_track = None
 
     def run(self, images: jnp.ndarray) -> dict:
         extri, intri, depth, conf = self._fwd(self.params, jnp.asarray(images))
@@ -423,6 +435,38 @@ class VGGTModel:
             "extrinsic": extri, "intrinsic": intri,
             "depth": depth, "depth_conf": conf,
         }
+
+    @property
+    def has_track_head(self) -> bool:
+        return "track_head" in self.params
+
+    def track(self, images: jnp.ndarray, query_points: jnp.ndarray) -> dict:
+        """Track query_points (N, 2) pixel xy of frame 0 across all frames
+        via the exact CoTracker-style track head (model.track_head parity,
+        reference vggt.py:1104). Returns tracks (S, N, 2), vis (S, N),
+        conf (S, N)."""
+        from gtsfm_tpu.frontend.vggt_track import (
+            track_head_forward,
+            track_options_from_params,
+        )
+
+        if self._fwd_track is None:
+            topts = track_options_from_params(self.params["track_head"])
+
+            def fwd(params, imgs, qp):
+                S, H, W, _ = imgs.shape
+                outputs, ps = aggregator_forward(params["aggregator"], imgs, self.options)
+                coord_preds, vis, conf = track_head_forward(
+                    params["track_head"], outputs, ps, (H, W), qp,
+                    self.options, topts,
+                )
+                return coord_preds[-1], vis, conf
+
+            self._fwd_track = jax.jit(fwd)
+        tracks, vis, conf = self._fwd_track(
+            self.params, jnp.asarray(images), jnp.asarray(query_points)
+        )
+        return {"tracks": tracks, "vis": vis, "conf": conf}
 
 
 def _vggt_forward(params, images, opts: VGGTOptions):
@@ -720,6 +764,10 @@ def convert_torch_state_dict(sd: dict, opts: Optional[VGGTOptions] = None) -> tu
     }
     if "point_head.norm.weight" in sd:
         params["point_head"] = dpt("point_head")
+    if "track_head.tracker.fmap_norm.weight" in sd:
+        from gtsfm_tpu.frontend.vggt_track import convert_torch_track_state_dict
+
+        params["track_head"], _ = convert_torch_track_state_dict(sd)
     return params, opts
 
 

@@ -87,8 +87,9 @@ class ClusterFeedforward:
             padded = np.zeros((B, Hp, Wp), np.float32)
             padded[:, :H, :W] = images
             images = padded
+        vggt_model = None
         if opts.backbone == "vggt_exact":
-            poses, depth, conf, cal = self._run_vggt_exact(images, cal)
+            poses, depth, conf, cal, vggt_model = self._run_vggt_exact(images, cal)
         else:
             model = _resolve_model(opts, (Hp, Wp), self.params)
             poses, depth, conf, focal = model.run(jnp.asarray(images, jnp.float32))
@@ -98,7 +99,24 @@ class ClusterFeedforward:
             wp_c = max(1, (W + P - 1) // P)
             conf = conf[:, :hp_c, :wp_c]
         data = None
-        if opts.use_tracking and opts.backbone == "compact":
+        if (
+            opts.use_tracking
+            and opts.backbone == "vggt_exact"
+            and vggt_model is not None
+            and vggt_model.has_track_head
+        ):
+            # exact CoTracker-style track head (run_vggt_tracking parity,
+            # reference vggt.py:1104-1177): query confident frame-0 pixels,
+            # track across all frames, anchor 3D points on frame-0 depth
+            data = vggt_exact_tracks_to_sfm_data(
+                vggt_model, images, poses, np.asarray(depth),
+                np.asarray(conf), cal,
+                conf_threshold=opts.conf_threshold,
+                vis_threshold=opts.track_vis_threshold,
+                per_camera=opts.tracks_per_camera,
+                patch_size=P,
+            )
+        if data is None and opts.use_tracking and opts.backbone == "compact":
             from gtsfm_tpu.frontend.feedforward import feedforward_tracks_to_sfm_data
 
             track_feat = np.asarray(model.last_track_feat)
@@ -143,14 +161,31 @@ class ClusterFeedforward:
                 params, vo = load_torch_weights(opts.vggt_weights_path)
                 _MODEL_CACHE[key] = VGGTModel(vo, params=params)
             else:
-                # random-weight exact architecture (shape/pipeline tests)
-                _MODEL_CACHE[key] = VGGTModel(VGGTOptions(
+                # random-weight exact architecture (shape/pipeline tests),
+                # including a reduced-dim exact track head so the tracking
+                # path is exercised end-to-end
+                from gtsfm_tpu.frontend.vggt import init_params
+                from gtsfm_tpu.frontend.vggt_track import (
+                    TrackOptions,
+                    init_track_params,
+                )
+
+                vo = VGGTOptions(
                     embed_dim=64, depth=2, num_heads=4, dino_depth=2,
                     dino_heads=4, dino_pretrain_grid=4, camera_trunk_depth=2,
                     camera_iterations=2, dpt_features=32,
                     dpt_out_channels=(16, 32, 64, 64),
                     intermediate_layer_idx=(0, 0, 1, 1),
-                ))
+                )
+                params = init_params(jax.random.PRNGKey(0), vo)
+                params["track_head"] = init_track_params(
+                    jax.random.PRNGKey(1),
+                    TrackOptions(latent_dim=32, hidden_size=48, corr_levels=3,
+                                 corr_radius=2, depth=2, num_heads=8,
+                                 num_virtual_tracks=8, iters=2),
+                    vo,
+                )
+                _MODEL_CACHE[key] = VGGTModel(vo, params=params)
         model = _MODEL_CACHE[key]
         rgb = jnp.asarray(np.repeat(images[..., None], 3, axis=-1), jnp.float32)
         out = model.run(rgb)
@@ -178,7 +213,83 @@ class ClusterFeedforward:
         # VGGT confidence is 1 + exp(x) >= 1: shift to the compact model's
         # [0, 1]-ish range so conf_threshold semantics carry over
         conf = 1.0 - 1.0 / np.maximum(conf, 1.0)
-        return poses, jnp.asarray(depth), jnp.asarray(conf), cal_pred
+        return poses, jnp.asarray(depth), jnp.asarray(conf), cal_pred, model
+
+
+def vggt_exact_tracks_to_sfm_data(
+    model,
+    images: np.ndarray,
+    poses,
+    depth: np.ndarray,
+    conf: np.ndarray,
+    cal,
+    conf_threshold: float = 0.5,
+    vis_threshold: float = 0.6,
+    max_queries: int = 256,
+    per_camera: int = 12,
+    patch_size: int = 14,
+):
+    """Multi-view tracks from the EXACT VGGT track head: query pixels are
+    drawn from confident patches of frame 0, tracked across every frame by
+    the CoTracker-style head, and each surviving >= 2-view track anchors
+    its 3D point by unprojecting the frame-0 depth (the reference's
+    pred_point_3d = dense_points[query][query_points], vggt.py:1086).
+    Returns SfmData or None. Single query frame (frame 0) — the
+    reference's DINO frame ranking / multi-query sweep is a retrieval
+    refinement on top of the same head."""
+    from gtsfm_tpu.frontend.feedforward import select_tracks_for_ba
+    from gtsfm_tpu.geometry import PinholeCamera
+
+    B, H, W = images.shape
+    hp, wp = conf.shape[1], conf.shape[2]
+    s = patch_size
+    flat_conf = conf[0, :hp, :wp].reshape(-1)
+    good = np.nonzero(flat_conf >= conf_threshold)[0]
+    if len(good) == 0:
+        good = np.argsort(-flat_conf)[: min(max_queries, flat_conf.size)]
+    good = good[np.argsort(-flat_conf[good])][:max_queries]
+    if len(good) == 0:
+        return None
+    qy, qx = good // wp, good % wp
+    qp = np.stack([(qx + 0.5) * s, (qy + 0.5) * s], axis=-1).astype(np.float32)
+
+    rgb = jnp.asarray(np.repeat(images[..., None], 3, axis=-1), jnp.float32)
+    out = model.track(rgb, jnp.asarray(qp))
+    xy = np.asarray(out["tracks"])  # (B, Q, 2) pixel coords
+    vis = np.asarray(out["vis"]) * np.asarray(out["conf"])  # (B, Q)
+
+    Q = len(good)
+    valid = vis.T >= vis_threshold  # (Q, B)
+    valid[:, 0] = True  # frame 0 observes its own queries
+    multi = valid.sum(axis=1) >= 2
+    chosen = select_tracks_for_ba(
+        vis.T * multi[:, None], valid & multi[:, None], per_camera=per_camera
+    )
+
+    cam_ref = PinholeCamera(
+        pose=jax.tree.map(lambda a: a[0], poses),
+        cal=jax.tree.map(lambda a: a[0], cal),
+    )
+    tracks = []
+    Hd, Wd = depth.shape[1], depth.shape[2]
+    for qi in np.nonzero(chosen)[0]:
+        uv_ref = qp[qi]
+        iy, ix = min(int(uv_ref[1]), Hd - 1), min(int(uv_ref[0]), Wd - 1)
+        X = np.asarray(
+            cam_ref.backproject(jnp.asarray(uv_ref), jnp.asarray(depth[0, iy, ix]))
+        )
+        obs = []
+        for b in range(B):
+            if not valid[qi, b]:
+                continue
+            uv = uv_ref if b == 0 else xy[b, qi]
+            if 0 <= uv[0] < W and 0 <= uv[1] < H:
+                obs.append((b, np.asarray(uv, np.float32)))
+        if len(obs) >= 2:
+            tracks.append((X, obs))
+    if not tracks:
+        return None
+    return SfmData.from_cameras_and_tracks(poses, cal, tracks, num_cameras=B)
 
 
 class ClusterFastFeedforward(ClusterFeedforward):

@@ -116,3 +116,47 @@ def test_vggt_exact_backbone_through_pipeline():
     assert data.number_images() <= B
     # predicted intrinsics were adopted (VGGT's own K, vggt.py:862-874)
     assert float(jnp.ptp(data.cal.fx)) >= 0.0
+
+
+def test_vggt_exact_track_head_drives_multiview_tracks():
+    """The exact CoTracker-style track head (frontend/vggt_track.py) is
+    reachable from the cluster optimizer and produces >= 2-view tracks
+    (run_vggt_tracking parity, reference vggt.py:1104-1177)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.geometry import Cal3Bundler
+    from gtsfm_tpu.scene.cluster_feedforward import (
+        ClusterFeedforward,
+        ClusterFeedforwardOptions,
+        vggt_exact_tracks_to_sfm_data,
+    )
+
+    rng = np.random.default_rng(1)
+    B, H, W = 2, 56, 56
+    images = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    cal = Cal3Bundler.create(
+        jnp.full(B, 100.0), jnp.zeros(B), jnp.zeros(B),
+        jnp.full(B, 28.0), jnp.full(B, 28.0),
+    )
+    ff = ClusterFeedforward(
+        ClusterFeedforwardOptions(
+            backbone="vggt_exact", run_post_ba=False,
+            # random-weight vis/conf hover near 0.5: accept everything so
+            # the multi-view assembly itself is what's under test
+            track_vis_threshold=0.0, conf_threshold=0.0,
+        )
+    )
+    poses, depth, conf, cal_pred, model = ff._run_vggt_exact(images, cal)
+    assert model.has_track_head
+    data = vggt_exact_tracks_to_sfm_data(
+        model, images, poses, np.asarray(depth), np.asarray(conf), cal_pred,
+        conf_threshold=0.0, vis_threshold=0.0, patch_size=14,
+    )
+    assert data is not None and data.number_tracks() >= 1
+    # every track observes >= 2 frames
+    m = np.asarray(data.meas_mask)
+    tr = np.asarray(data.meas_track)[m]
+    counts = np.bincount(tr, minlength=data.max_tracks)
+    active = np.asarray(data.track_mask)
+    assert (counts[active] >= 2).all()
