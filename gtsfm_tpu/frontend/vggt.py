@@ -399,6 +399,8 @@ def dpt_head_forward(params: dict, outputs: list, patch_start: int,
     out = _conv2d(out, params["output_conv2_0"])
     out = jax.nn.relu(out)
     out = _conv2d(out, params["output_conv2_2"], padding="VALID")
+    if activation == "raw":
+        return out
     val = out[..., :-1]
     conf_raw = out[..., -1]
     if activation == "exp":

@@ -59,6 +59,18 @@ def _resolve_model(opts: ClusterFeedforwardOptions, hw, params=None):
     return _MODEL_CACHE[key]
 
 
+def pad_to_patch_grid(images: np.ndarray, P: int) -> np.ndarray:
+    """Zero-pad (B, H, W) images up to the transformer's patch grid."""
+    B, H, W = images.shape
+    Hp = ((H + P - 1) // P) * P
+    Wp = ((W + P - 1) // P) * P
+    if (Hp, Wp) == (H, W):
+        return images
+    out = np.zeros((B, Hp, Wp), np.float32)
+    out[:, :H, :W] = images
+    return out
+
+
 class ClusterFeedforward:
     def __init__(self, options: ClusterFeedforwardOptions = ClusterFeedforwardOptions(), params=None):
         self.options = options
@@ -83,10 +95,7 @@ class ClusterFeedforward:
         P = opts.model.patch_size
         Hp = ((H + P - 1) // P) * P
         Wp = ((W + P - 1) // P) * P
-        if (Hp, Wp) != (H, W):
-            padded = np.zeros((B, Hp, Wp), np.float32)
-            padded[:, :H, :W] = images
-            images = padded
+        images = pad_to_patch_grid(images, P)
         vggt_model = None
         if opts.backbone == "vggt_exact":
             poses, depth, conf, cal, vggt_model = self._run_vggt_exact(images, cal)

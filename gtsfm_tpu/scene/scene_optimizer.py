@@ -411,14 +411,43 @@ class SceneOptimizer:
         )
         gs_init = None
         if opts.cluster_optimizer == "anysplat":
-            from gtsfm_tpu.scene.cluster_feedforward import depth_to_splats
-
-            gs_init = depth_to_splats(
-                data.poses, depth, conf, cal, images=images,
-                conf_threshold=ff_opts.conf_threshold,
-            )
+            gs_init = self._feedforward_splats(ff, images, depth, conf, cal,
+                                               data.poses, ff_opts)
         return self._finalize(
             loader, data, ff_metrics, images, metrics_groups, t_start, gs_init=gs_init
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _feedforward_splats(ff, images, depth, conf, cal, poses, ff_opts):
+        """The anysplat slot's gaussian product. With the exact VGGT
+        backbone, run the AnySplat-class per-pixel gaussian head
+        (frontend/anysplat.py — an explicit re-design over the exact
+        backbone; the public AnySplat source is not vendored in the
+        reference). Otherwise fall back to the depth-unprojection lift."""
+        from gtsfm_tpu.scene.cluster_feedforward import (
+            depth_to_splats,
+            pad_to_patch_grid,
+        )
+
+        if ff_opts.backbone == "vggt_exact":
+            import numpy as np
+
+            import jax.numpy as jnp
+
+            from gtsfm_tpu.frontend.anysplat import AnySplatModel, AnySplatOptions
+
+            padded = pad_to_patch_grid(images, ff_opts.model.patch_size)
+            _, _, _, _, vggt_model = ff._run_vggt_exact(padded, cal)
+            as_model = AnySplatModel.from_vggt(
+                vggt_model,
+                AnySplatOptions(conf_threshold=ff_opts.conf_threshold),
+            )
+            rgb = jnp.asarray(np.repeat(padded[..., None], 3, axis=-1), jnp.float32)
+            return as_model.run(rgb)["gaussians"]
+        return depth_to_splats(
+            poses, depth, conf, cal, images=images,
+            conf_threshold=ff_opts.conf_threshold,
         )
 
     # ------------------------------------------------------------------
@@ -602,6 +631,17 @@ class SceneOptimizer:
                 from gtsfm_tpu.splat.gs_data import export_ply
 
                 export_ply(gs_result, os.path.join(results_dir, "splats.ply"))
+                # gaussian means as colored scene points alongside the
+                # reconstruction (add_tracks_with_gaussian_mean parity,
+                # reference anysplat.py:167-198)
+                from gtsfm_tpu.frontend.anysplat import gaussian_means_as_tracks
+                from gtsfm_tpu.io.ply import write_ply as _write_pts
+
+                g_pts, g_cols = gaussian_means_as_tracks(data, gs_result)
+                _write_pts(
+                    os.path.join(results_dir, "gaussian_points.ply"),
+                    g_pts, g_cols,
+                )
                 if opts.gs_video_frames > 0:
                     self._export_splat_video(
                         gs_result, data, results_dir, opts.gs_video_frames
