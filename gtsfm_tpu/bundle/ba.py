@@ -37,6 +37,72 @@ from gtsfm_tpu.geometry import SE3, PinholeCamera
 from gtsfm_tpu.utils.numerics import einsum as p_einsum
 
 
+def _tiny_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """einsum for contractions over TINY dims (2-6) with big trailing batch
+    axes, unrolled to pure (batch,)-lane arithmetic on TPU.
+
+    On TPU, jnp.einsum at default precision may lower these to MXU
+    dot_generals whose bf16 input rounding corrupts the LM linearization
+    (and whose 128-wide tile padding wastes the MXU); the unrolled form is
+    exact f32 on the VPU. On CPU the stock einsum is kept BIT-IDENTICAL —
+    downstream RANSAC/BA accuracy baselines are chaotic to float-stream
+    changes (see docs/DESIGN.md round-3 notes).
+
+    Grammar: indices appearing in both inputs and the output are batch
+    (elementwise, must be the trailing axes of all operands in the same
+    order); in both inputs only = contracted; in one input + output =
+    free. All non-batch dims must be small and leading."""
+    if jax.default_backend() != "tpu":
+        return jnp.einsum(spec, a, b)
+    return _tiny_einsum_unrolled(spec, a, b)
+
+
+def _tiny_einsum_unrolled(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    ins, out = spec.split("->")
+    sa, sb = ins.split(",")
+    batch = [c for c in sa if c in sb and c in out]
+    small_a = [c for c in sa if c not in batch]
+    small_b = [c for c in sb if c not in batch]
+    assert sa.endswith("".join(batch)) and sb.endswith("".join(batch)) and out.endswith(
+        "".join(batch)
+    ), f"_tiny_einsum: batch axes must trail identically in {spec}"
+    dims = {}
+    for c, n in list(zip(sa, a.shape)) + list(zip(sb, b.shape)):
+        dims[c] = n
+    contract = [c for c in small_a if c in small_b]
+    free_out = [c for c in out if c not in batch]
+
+    def slice_op(arr, idx_map, small):
+        sl = tuple(idx_map[c] for c in small)
+        return arr[sl]  # leading small dims indexed; batch dims remain
+
+    def build(prefix):
+        if len(prefix) == len(free_out):
+            idx = dict(prefix)
+            total = None
+            for cvals in _iter_dims(contract, dims):
+                idx_all = {**idx, **cvals}
+                term = slice_op(a, idx_all, small_a) * slice_op(b, idx_all, small_b)
+                total = term if total is None else total + term
+            return total
+        c = free_out[len(prefix)]
+        return jnp.stack(
+            [build(prefix + [(c, i)]) for i in range(dims[c])], axis=0
+        )
+
+    return build([])
+
+
+def _iter_dims(chars, dims):
+    if not chars:
+        yield {}
+        return
+    c, rest = chars[0], chars[1:]
+    for i in range(dims[c]):
+        for tail in _iter_dims(rest, dims):
+            yield {c: i, **tail}
+
+
 class BAOptions(NamedTuple):
     max_iterations: int = 30
     cg_iterations: int = 40
@@ -556,12 +622,12 @@ def _schur_solve_entry(J_c, J_p, r, w, meas_cam, meas_track, trk_st, trk_en,
     hp = jax.lax.Precision.HIGHEST
 
     # block diagonals / gradients (once per LM iteration)
-    prod_cc = jnp.einsum("rim,rjm->ijm", Jc_e, Jc_e)  # (d, d, M)
+    prod_cc = _tiny_einsum("rim,rjm->ijm", Jc_e, Jc_e)  # (d, d, M)
     Hcc = jnp.einsum("ijm,nm->nij", prod_cc, CT, precision=hp)  # (N, d, d)
-    prod_pp = jnp.einsum("rim,rjm->ijm", Jp_e, Jp_e)  # (3, 3, M)
+    prod_pp = _tiny_einsum("rim,rjm->ijm", Jp_e, Jp_e)  # (3, 3, M)
     Hpp_e = _segsum_lanes(prod_pp, trk_st, trk_en)  # (3, 3, T)
     g_c = jnp.einsum("rim,rm,nm->ni", Jc_e, rw_e, CT, precision=hp)  # (N, d)
-    g_p_e = _segsum_lanes(jnp.einsum("rim,rm->im", Jp_e, rw_e), trk_st, trk_en)
+    g_p_e = _segsum_lanes(_tiny_einsum("rim,rm->im", Jp_e, rw_e), trk_st, trk_en)
 
     rel_coupling = None
     if prior_terms is not None:
@@ -581,7 +647,7 @@ def _schur_solve_entry(J_c, J_p, r, w, meas_cam, meas_track, trk_st, trk_en,
     Hpp_inv_e = _inv3_lanes(Hpp_de)  # (3, 3, T)
 
     # per-measurement W block, entry-major: (d, 3, M)
-    W_e = jnp.einsum("rim,rjm->ijm", Jc_e, Jp_e)
+    W_e = _tiny_einsum("rim,rjm->ijm", Jc_e, Jp_e)
 
     freeN_g = free[:, None]
     n_free_g = jnp.maximum(jnp.sum(freeN_g), 1.0)
@@ -592,11 +658,11 @@ def _schur_solve_entry(J_c, J_p, r, w, meas_cam, meas_track, trk_st, trk_en,
 
     def track_apply(xg_T):
         """(d, M) gathered camera vectors -> (d, M) W Hpp^-1 sum_track W^T x."""
-        u = jnp.einsum("ijm,im->jm", W_e, xg_T)  # (3, M)
+        u = _tiny_einsum("ijm,im->jm", W_e, xg_T)  # (3, M)
         s = _segsum_lanes(u, trk_st, trk_en)  # (3, T)
-        v = jnp.einsum("ijt,jt->it", Hpp_inv_e, s)  # (3, T)
+        v = _tiny_einsum("ijt,jt->it", Hpp_inv_e, s)  # (3, T)
         vg = v[:, meas_track]  # (3, M)
-        return jnp.einsum("ijm,jm->im", W_e, vg)  # (d, M)
+        return _tiny_einsum("ijm,jm->im", W_e, vg)  # (d, M)
 
     def S_matvec(x):  # x: [N, d]
         y1 = p_einsum("nij,nj->ni", Hcc_d, x)
@@ -621,8 +687,8 @@ def _schur_solve_entry(J_c, J_p, r, w, meas_cam, meas_track, trk_st, trk_en,
         return y
 
     # rhs: b = -g_c + W Hpp^-1 g_p (reduced onto cameras)
-    hv = jnp.einsum("ijt,jt->it", Hpp_inv_e, g_p_e)  # (3, T)
-    t_b = jnp.einsum("ijm,jm->im", W_e, hv[:, meas_track])  # (d, M)
+    hv = _tiny_einsum("ijt,jt->it", Hpp_inv_e, g_p_e)  # (3, T)
+    t_b = _tiny_einsum("ijm,jm->im", W_e, hv[:, meas_track])  # (d, M)
     b = -g_c + jnp.einsum("im,nm->ni", t_b, CT, precision=hp)
 
     if dc > 0:
@@ -691,9 +757,9 @@ def _schur_solve_entry(J_c, J_p, r, w, meas_cam, meas_track, trk_st, trk_en,
 
     # back-substitute points: delta_p = -Hpp^-1 (g_p + W^T delta_c)
     dg = jnp.einsum("ni,nm->im", delta_c, CT, precision=hp)  # (d, M)
-    u2 = jnp.einsum("ijm,im->jm", W_e, dg)  # (3, M)
+    u2 = _tiny_einsum("ijm,im->jm", W_e, dg)  # (3, M)
     s2 = _segsum_lanes(u2, trk_st, trk_en)  # (3, T)
-    delta_p_e = -jnp.einsum("ijt,jt->it", Hpp_inv_e, g_p_e + s2)
+    delta_p_e = -_tiny_einsum("ijt,jt->it", Hpp_inv_e, g_p_e + s2)
     return delta_c, delta_p_e.T
 
 
@@ -775,7 +841,7 @@ def _dense_linearize(prob: BAProblem, L: int, A: jnp.ndarray,
 
     X_e = prob.points.T[:, None, :]  # (3, 1, T) broadcast over L
     dX = X_e - tg  # (3, L, T)
-    p_cam = jnp.einsum("jilt,jlt->ilt", Rg, dX)  # R^T dX
+    p_cam = _tiny_einsum("jilt,jlt->ilt", Rg, dX)  # R^T dX
     z = p_cam[2]
     zs = jnp.where(jnp.abs(z) < 1e-9, jnp.full_like(z, 1e-9), z)
     q = p_cam[:2] / zs[None]  # (2, L, T)
@@ -816,7 +882,7 @@ def _dense_linearize(prob: BAProblem, L: int, A: jnp.ndarray,
         jnp.stack([inv_z, zero, -q[0] * inv_z]),
         jnp.stack([zero, inv_z, -q[1] * inv_z]),
     ])
-    P = jnp.einsum("abLt,bcLt->acLt", D, Jq)  # (2, 3, L, T)
+    P = _tiny_einsum("abLt,bcLt->acLt", D, Jq)  # (2, 3, L, T)
 
     # pose block: [P @ hat(p_cam) | -P]
     x_, y_, z_ = p_cam[0], p_cam[1], p_cam[2]
@@ -825,7 +891,7 @@ def _dense_linearize(prob: BAProblem, L: int, A: jnp.ndarray,
         jnp.stack([z_, zero, -x_]),
         jnp.stack([-y_, x_, zero]),
     ])  # (3, 3, L, T)
-    Jrot = jnp.einsum("abLt,bcLt->acLt", P, hatp)
+    Jrot = _tiny_einsum("abLt,bcLt->acLt", P, hatp)
     Jc = jnp.concatenate([Jrot, -P], axis=1)  # (2, 6, L, T)
     if optimize_intrinsics:
         if cname == "Cal3Bundler":
@@ -845,7 +911,7 @@ def _dense_linearize(prob: BAProblem, L: int, A: jnp.ndarray,
             ], axis=0).transpose(1, 0, 2, 3)  # (2, 5, L, T)
         Jc = jnp.concatenate([Jc, Jcal], axis=1)
     # point block: P @ R^T  (R^T[k][j] = Rg[j][k])
-    Jp = jnp.einsum("abLt,cbLt->acLt", P, Rg)
+    Jp = _tiny_einsum("abLt,cbLt->acLt", P, Rg)
     return r, z, Jc, Jp
 
 
@@ -882,12 +948,12 @@ def _schur_solve_dense(Jc_e, Jp_e, r_e, w_e, A, n_cam, n_track, L, fixed_cam,
         Jc = Jc * free_m[None, None]
 
     # dense per-track reductions (sum over the L axis)
-    Hpp_e = jnp.einsum("rilt,rjlt->ijt", Jp, Jp)  # (3, 3, T)
-    g_p_e = jnp.einsum("rilt,rlt->it", Jp, rw)  # (3, T)
-    Wd = jnp.einsum("rilt,rjlt->ijlt", Jc, Jp)  # (d, 3, L, T)
-    prod_cc = jnp.einsum("rilt,rjlt->ijlt", Jc, Jc)  # (d, d, L, T)
+    Hpp_e = _tiny_einsum("rilt,rjlt->ijlt", Jp, Jp).sum(2)  # (3, 3, T)
+    g_p_e = _tiny_einsum("rilt,rlt->ilt", Jp, rw).sum(1)  # (3, T)
+    Wd = _tiny_einsum("rilt,rjlt->ijlt", Jc, Jp)  # (d, 3, L, T)
+    prod_cc = _tiny_einsum("rilt,rjlt->ijlt", Jc, Jc)  # (d, d, L, T)
     Hcc = jnp.einsum("nlt,ijlt->nij", A, prod_cc, precision=hp)
-    g_cm = jnp.einsum("rilt,rlt->ilt", Jc, rw)
+    g_cm = _tiny_einsum("rilt,rlt->ilt", Jc, rw)
     g_c = jnp.einsum("nlt,ilt->ni", A, g_cm, precision=hp)
 
     rel_coupling = None
@@ -927,7 +993,7 @@ def _schur_solve_dense(Jc_e, Jp_e, r_e, w_e, A, n_cam, n_track, L, fixed_cam,
         S = S.at[:, :3, :, :3].add(K)
 
     # rhs: b = -g_c + sum_t Y_t Hpp_inv_t g_p_t (camera-reduced)
-    hv = jnp.einsum("ijt,jt->it", Hpp_inv, g_p_e)  # (3, T)
+    hv = _tiny_einsum("ijt,jt->it", Hpp_inv, g_p_e)  # (3, T)
     b = -g_c + jnp.einsum("iknt,kt->ni", Y, hv, precision=hp)
 
     if dc > 0:
@@ -960,8 +1026,8 @@ def _schur_solve_dense(Jc_e, Jp_e, r_e, w_e, A, n_cam, n_track, L, fixed_cam,
 
     # back-substitute points
     xg = jnp.einsum("ni,nlt->ilt", delta_c, A, precision=hp)  # (d, L, T)
-    u2 = jnp.einsum("ijlt,ilt->jt", Wd, xg)  # (3, T)
-    delta_p_e = -jnp.einsum("ijt,jt->it", Hpp_inv, g_p_e + u2)
+    u2 = _tiny_einsum("ijlt,ilt->jlt", Wd, xg).sum(1)  # (3, T)
+    delta_p_e = -_tiny_einsum("ijt,jt->it", Hpp_inv, g_p_e + u2)
     return delta_c, delta_p_e.T
 
 

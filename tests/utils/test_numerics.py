@@ -85,3 +85,31 @@ def test_ceil_pow2():
     assert ceil_pow2(4) == 4
     assert ceil_pow2(5, floor=16) == 16
     assert ceil_pow2(100) == 128
+
+
+def test_tiny_einsum_unrolled_matches_einsum():
+    """The TPU lane-math einsum unroller (bundle/ba.py) reproduces
+    jnp.einsum for every spec pattern the BA solvers use."""
+    from gtsfm_tpu.bundle.ba import _tiny_einsum_unrolled
+
+    rng = np.random.default_rng(7)
+    L, T, M, d = 3, 17, 29, 6
+    cases = [
+        ("rim,rjm->ijm", (2, d, M), (2, 3, M)),
+        ("rim,rm->im", (2, 3, M), (2, M)),
+        ("ijm,im->jm", (d, 3, M), (d, M)),
+        ("ijt,jt->it", (3, 3, T), (3, T)),
+        ("ijm,jm->im", (d, 3, M), (3, M)),
+        ("jilt,jlt->ilt", (3, 3, L, T), (3, L, T)),
+        ("abLt,bcLt->acLt", (2, 2, L, T), (2, 3, L, T)),
+        ("abLt,cbLt->acLt", (2, 3, L, T), (3, 3, L, T)),
+        ("rilt,rjlt->ijlt", (2, d, L, T), (2, 3, L, T)),
+        ("rilt,rlt->ilt", (2, 3, L, T), (2, L, T)),
+        ("ijlt,ilt->jlt", (d, 3, L, T), (d, L, T)),
+    ]
+    for spec, sa, sb in cases:
+        a = jnp.asarray(rng.normal(size=sa).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=sb).astype(np.float32))
+        got = np.asarray(_tiny_einsum_unrolled(spec, a, b))
+        ref = np.asarray(jnp.einsum(spec, a, b))
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6, err_msg=spec)
