@@ -132,7 +132,9 @@ class AnySplatModel:
         for s in range(S):
             K = intri[s]
             fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-            d = depth[s]
+            # an untrained depth head's exp activation can reach e^{+-30};
+            # keep the assembled field in a numerically sane range
+            d = np.clip(depth[s], 1e-2, 1e3)
             # camera-frame backprojection + bounded learned offset
             xc = (xs - cx) / max(fx, 1e-6) * d
             yc = (ys - cy) / max(fy, 1e-6) * d
@@ -150,9 +152,15 @@ class AnySplatModel:
             iy, ix = keep // W, keep % W
             footprint = d[iy, ix] / max(fx, 1e-6)  # 1px at depth
             means.append(p_world[iy, ix])
+            # clamp the total log-scale: exp(2 * log_scale) must stay finite
+            # through the rasterizer's covariance even for an untrained
+            # depth head whose exp activation can be extreme
             scales.append(
-                np.log(np.maximum(footprint[:, None], 1e-6))
-                + np.clip(raw[s, iy, ix, 3:6], -4.0, 4.0)
+                np.clip(
+                    np.log(np.maximum(footprint[:, None], 1e-6))
+                    + np.clip(raw[s, iy, ix, 3:6], -4.0, 4.0),
+                    -12.0, 8.0,
+                )
             )
             q = raw[s, iy, ix, 6:10]
             q = q + np.array([1.0, 0, 0, 0])  # identity-centered logits

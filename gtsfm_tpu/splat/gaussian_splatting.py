@@ -96,6 +96,7 @@ class GaussianSplatting:
             pts = np.asarray(data.points)[tm]
             G = min(opts.max_gaussians, max(len(pts) * 4, 256))
             gs = GSData.from_points(pts, max_gaussians=G)
+        G = gs.max_gaussians
 
         Ks = np.asarray(data.cal.K())
         poses = data.poses

@@ -40,11 +40,17 @@ def project_gaussians(gs: GSData, wTc: SE3, K: jnp.ndarray):
     cTw = wTc.inverse()
     p_cam = cTw.transform(gs.means)  # (G, 3)
     z = p_cam[..., 2]
-    z_safe = jnp.maximum(z, 1e-6)
+    # behind-camera gaussians are masked invisible downstream (z > 0.01);
+    # give them a PLACEHOLDER depth so no intermediate overflows f32 —
+    # an inf reached through any jnp.where still poisons gradients
+    # (0-cotangent * inf = NaN)
+    z_safe = jnp.where(z > 1e-6, z, 1.0)
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
-    x = p_cam[..., 0] / z_safe
-    y = p_cam[..., 1] / z_safe
+    # clip normalized coords to a generous frustum: gaussians thousands of
+    # image-widths off-screen keep finite (and irrelevant) covariances
+    x = jnp.clip(p_cam[..., 0] / z_safe, -1e4, 1e4)
+    y = jnp.clip(p_cam[..., 1] / z_safe, -1e4, 1e4)
     xy = jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
 
     # A = R_cam_world @ R_gauss, unrolled over the shared 3x3 (27 fma on
@@ -63,11 +69,30 @@ def project_gaussians(gs: GSData, wTc: SE3, K: jnp.ndarray):
     j1, j2y = fy / z_safe, fy * y / z_safe
     B0 = [j0 * A[0][k] - j2x * A[2][k] for k in range(3)]
     B1 = [j1 * A[1][k] - j2y * A[2][k] for k in range(3)]
-    # cov2d = B diag(s^2) Bᵀ + 0.3 I (low-pass / anti-alias dilation)
+    # cov2d = B diag(s^2) Bᵀ + 0.3 I (low-pass / anti-alias dilation).
+    # Degenerate near-camera giants (an e^8-scale gaussian at z=0.02) can
+    # overflow det/inversion in f32 and poison gradients; rescaling the
+    # WHOLE matrix by a shared factor preserves positive-definiteness
+    # (independent entry clipping would not) and a capped halo is already
+    # flat across any tile, so the render is visually unchanged.
     s2 = jnp.exp(2.0 * gs.log_scales)  # (G, 3)
-    c00 = sum(B0[k] * B0[k] * s2[:, k] for k in range(3)) + 0.3
+    c00 = sum(B0[k] * B0[k] * s2[:, k] for k in range(3))
     c01 = sum(B0[k] * B1[k] * s2[:, k] for k in range(3))
-    c11 = sum(B1[k] * B1[k] * s2[:, k] for k in range(3)) + 0.3
+    c11 = sum(B1[k] * B1[k] * s2[:, k] for k in range(3))
+    cap = 1e8
+    # f32-overflowed entries (e.g. a padded gaussian at z ~ 0) degrade to
+    # the isotropic cap — inf would turn the shared rescale into inf * 0
+    c00 = jnp.where(jnp.isfinite(c00), c00, cap)
+    c11 = jnp.where(jnp.isfinite(c11), c11, cap)
+    c01 = jnp.where(jnp.isfinite(c01), c01, 0.0)
+    m = jnp.maximum(jnp.maximum(c00, c11), 1.0)
+    # the cap is a numerical guard, not model semantics: stop its gradient
+    # (d(cap/m)/dm overflows f32 for e20-scale m; for healthy gaussians
+    # f_cap == 1 exactly and gradients are untouched)
+    f_cap = jax.lax.stop_gradient(jnp.minimum(1.0, cap / m))
+    c00 = c00 * f_cap + 0.3
+    c01 = c01 * f_cap
+    c11 = c11 * f_cap + 0.3
     cov2d = jnp.stack(
         [jnp.stack([c00, c01], -1), jnp.stack([c01, c11], -1)], axis=-2
     )  # (G, 2, 2)
@@ -136,6 +161,10 @@ def render(
         dx = xs[..., None] - cxy[None, None, :, 0]  # (H, W, C)
         dy = ys[..., None] - cxy[None, None, :, 1]
         q = c00 * dx * dx + 2 * c01 * dx * dy + c11 * dy * dy
+        # the quadratic form is mathematically >= 0; f32 cancellation on
+        # capped near-singular covariances can leave it hugely negative,
+        # and exp(+big) * (alpha == 0) would leak NaN through the cutoff
+        q = jnp.maximum(q, 0.0)
         g_alpha = jnp.minimum(ca * jnp.exp(-0.5 * q), 0.995)  # (H, W, C)
         g_alpha = jnp.where(q < 16.0, g_alpha, 0.0)  # 4-sigma cutoff
 
@@ -256,10 +285,14 @@ def _render_tiled_impl(
     inv01 = -cov2d[:, 0, 1] / det
     inv11 = cov2d[:, 0, 0] / det
     # 4-sigma radius from the major eigenvalue (matches the q < 16
-    # evaluation cutoff so binning never drops an evaluated pixel)
+    # evaluation cutoff so binning never drops an evaluated pixel). The
+    # radius only selects TILES (a discrete decision): stop its gradient —
+    # sqrt(mid^2 - det) has an infinite derivative at exactly-isotropic
+    # covariances (which the numerical cap produces), and a binning
+    # gradient is meaningless anyway.
     mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
     lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
-    radius = 4.0 * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    radius = jax.lax.stop_gradient(4.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
     # tile bbox per gaussian (clamped); duplicate over <= max_dup slots
     side = int(max_dup**0.5)
@@ -437,6 +470,7 @@ def _composite_kernel(ax_ref, ay_ref, aa_ref, p0_ref, p1_ref, p2_ref,
                 + 2.0 * i01_c[j][None, :] * dx * dy
                 + i11_c[j][None, :] * dy * dy
             )
+            q = jnp.maximum(q, 0.0)  # f32 cancellation guard (see render())
             g_alpha = jnp.minimum(a_c[j][None, :] * jnp.exp(-0.5 * q), 0.995)
             g_alpha = jnp.where(q < 16.0, g_alpha, 0.0)
             w = g_alpha * T
@@ -485,6 +519,7 @@ def _composite_tiles_xla(t_xy, t_a, t_rgb, t_i00, t_i01, t_i11,
             + 2.0 * sl(t_i01)[..., None] * dx * dy
             + sl(t_i11)[..., None] * dy * dy
         )
+        q = jnp.maximum(q, 0.0)  # f32 cancellation guard (see render())
         g_alpha = jnp.minimum(sl(t_a)[..., None] * jnp.exp(-0.5 * q), 0.995)
         g_alpha = jnp.where(q < 16.0, g_alpha, 0.0)
         one_m = 1.0 - g_alpha

@@ -109,3 +109,35 @@ def test_anysplat_slot_through_scene_optimizer_helper():
         ff2, images, depth2, conf2, cal, data2.poses, ff2_opts
     )
     assert gs2.max_gaussians >= 1
+
+
+def test_anysplat_field_seeds_splat_trainer():
+    """The feed-forward gaussian field is a valid splat-trainer init
+    (cluster_anysplat -> splat refinement, the run_gs tail)."""
+    from gtsfm_tpu.geometry import Cal3Bundler
+    from gtsfm_tpu.scene.cluster_feedforward import (
+        ClusterFeedforward,
+        ClusterFeedforwardOptions,
+    )
+    from gtsfm_tpu.scene.scene_optimizer import SceneOptimizer
+    from gtsfm_tpu.splat.gaussian_splatting import GaussianSplatting, GSTrainOptions
+
+    rng = np.random.default_rng(4)
+    B, H, W = 2, 56, 56
+    images = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    cal = Cal3Bundler.create(
+        jnp.full(B, 100.0), jnp.zeros(B), jnp.zeros(B),
+        jnp.full(B, 28.0), jnp.full(B, 28.0),
+    )
+    ff_opts = ClusterFeedforwardOptions(
+        backbone="vggt_exact", run_post_ba=False, conf_threshold=0.0
+    )
+    ff = ClusterFeedforward(ff_opts)
+    data, _, (poses, depth, conf) = ff.run_raw(images, cal)
+    gs0 = SceneOptimizer._feedforward_splats(
+        ff, images, depth, conf, cal, data.poses, ff_opts
+    )
+    trainer = GaussianSplatting(GSTrainOptions(iterations=3))
+    gs, metrics = trainer.train(data, images, gs_init=gs0)
+    assert bool(jnp.all(jnp.isfinite(gs.means)))
+    assert np.isfinite(metrics.get("final_loss", metrics.get("loss", 0.0)))
