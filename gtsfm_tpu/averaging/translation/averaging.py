@@ -31,7 +31,10 @@ import numpy as np
 
 from gtsfm_tpu.utils.numerics import einsum as p_einsum
 
-MAX_PROJECTION_DIRECTIONS = 50
+# full reference budget (averaging_1dsfm.py:51); the multi-direction MFAS
+# sweep runs in threaded C++ (native/mfas.cpp::mfas_outlier_weights), so
+# 2000 directions cost ~a second even at skydio-501 edge counts
+MAX_PROJECTION_DIRECTIONS = 2000
 OUTLIER_WEIGHT_THRESHOLD = 0.125  # matches averaging_1dsfm.py:52
 
 
@@ -60,6 +63,27 @@ def mfas_outlier_weights(
     E = len(edges)
     if E == 0:
         return np.zeros(0, np.float32)
+
+    lib = _native_mfas()
+    if lib:
+        import ctypes
+        import os
+
+        e2 = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1))
+        wd = np.ascontiguousarray(np.asarray(w_dirs, np.float64).reshape(-1))
+        pd = np.ascontiguousarray(np.asarray(proj_dirs, np.float64).reshape(-1))
+        out = np.empty(E, np.float64)
+        n_threads = min(len(proj_dirs), os.cpu_count() or 1, 16)
+        lib.mfas_outlier_weights(
+            e2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            wd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(E), ctypes.c_int64(num_nodes),
+            pd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(len(proj_dirs)), ctypes.c_int64(n_threads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out.astype(np.float32)
+
     broken = np.zeros(E, np.float64)
     total = np.zeros(E, np.float64)
     for d in proj_dirs:
@@ -98,6 +122,12 @@ def _native_mfas():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mfas_outlier_weights.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _MFAS_LIB = lib
     else:
         _MFAS_LIB = False
@@ -124,11 +154,16 @@ def _greedy_mfas_order(src, dst, wgt, n) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         return out
+    # 1DSfM/gtsam ratio greedy — pick max (wout + eps)/(win + eps); sources
+    # dominate, so a DAG sorts topologically (zero violations) — followed by
+    # insertion-move local refinement (each node moved to its best position;
+    # only crossings with its own neighbors matter). Mirrors
+    # native/mfas.cpp::greedy_order + refine_order.
+    eps = 1e-8
     win = np.zeros(n)
     wout = np.zeros(n)
     np.add.at(wout, src, wgt)
     np.add.at(win, dst, wgt)
-    # adjacency lists
     out_edges = [[] for _ in range(n)]
     in_edges = [[] for _ in range(n)]
     for e in range(len(src)):
@@ -136,20 +171,56 @@ def _greedy_mfas_order(src, dst, wgt, n) -> np.ndarray:
         in_edges[dst[e]].append((src[e], wgt[e]))
     removed = np.zeros(n, bool)
     order = []
-    score = wout - win
     for _ in range(n):
-        # pick unremoved node with max (out - in); pure sources float to top
-        cand = np.where(removed, -np.inf, score)
-        u = int(np.argmax(cand))
+        ratio = np.where(removed, -np.inf, (wout + eps) / (win + eps))
+        u = int(np.argmax(ratio))
         order.append(u)
         removed[u] = True
         for v, w in out_edges[u]:
             if not removed[v]:
-                score[v] += w  # u's removal deletes an in-edge of v
+                win[v] = max(win[v] - w, 0.0)
         for v, w in in_edges[u]:
             if not removed[v]:
-                score[v] -= w
-    return np.array(order)
+                wout[v] = max(wout[v] - w, 0.0)
+
+    # insertion refinement
+    order = np.asarray(order, np.int64)
+    pos = np.empty(n, np.int64)
+    pos[order] = np.arange(n)
+    order = list(order)
+    for _ in range(8):
+        improved = False
+        for u in range(n):
+            pu = int(pos[u])
+            evs = [(int(pos[v]), -w) for v, w in out_edges[u]]
+            evs += [(int(pos[v]), +w) for v, w in in_edges[u]]
+            if not evs:
+                continue
+            evs.sort()
+            best_gain, best_t = 0.0, pu
+            g = 0.0
+            for pv, dw in evs:
+                if pv > pu:
+                    g += dw
+                    if g > best_gain + 1e-12:
+                        best_gain, best_t = g, pv
+            g = 0.0
+            for pv, dw in reversed(evs):
+                if pv < pu:
+                    g -= dw
+                    if g > best_gain + 1e-12:
+                        best_gain, best_t = g, pv
+            if best_t == pu:
+                continue
+            improved = True
+            order.pop(pu)
+            order.insert(best_t, u)
+            lo, hi = (best_t, pu) if best_t < pu else (pu, best_t)
+            for k in range(lo, hi + 1):
+                pos[order[k]] = k
+        if not improved:
+            break
+    return np.asarray(order, np.int64)
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "opts"))

@@ -25,22 +25,32 @@ def ensure_built(so_name: str) -> str | None:
     """Return the absolute path of the shared object, compiling it from its
     C++ source if missing. None when it cannot be built."""
     so_path = os.path.join(_DIR, so_name)
-    if os.path.exists(so_path):
-        return so_path
     src = _SOURCES.get(so_name)
-    if src is None or not os.path.exists(os.path.join(_DIR, src)):
-        return None
+    src_path = os.path.join(_DIR, src) if src else None
+
+    def _fresh() -> bool:
+        # rebuild when the C++ source is newer than the binary
+        return os.path.exists(so_path) and (
+            src_path is None
+            or not os.path.exists(src_path)
+            or os.path.getmtime(so_path) >= os.path.getmtime(src_path)
+        )
+
+    if _fresh():
+        return so_path
+    if src_path is None or not os.path.exists(src_path):
+        return so_path if os.path.exists(so_path) else None
     lock_path = so_path + ".lock"
     try:
         import fcntl
 
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            if not os.path.exists(so_path):  # re-check under the lock
+            if not _fresh():  # re-check under the lock
                 tmp = so_path + ".tmp"
                 subprocess.run(
-                    ["g++", "-O3", "-fPIC", "-std=c++17", "-shared",
-                     "-o", tmp, os.path.join(_DIR, src)],
+                    ["g++", "-O3", "-fPIC", "-std=c++17", "-pthread",
+                     "-shared", "-o", tmp, src_path],
                     check=True,
                     capture_output=True,
                 )
