@@ -37,47 +37,91 @@ class MergeOptions(NamedTuple):
     parent_reproj_filter_px: float = 5.0
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("irls_iterations",))
+def _lmeds_irls_sim3(
+    pb: jnp.ndarray,  # (P, 3) padded source points
+    pa: jnp.ndarray,  # (P, 3) padded target points
+    valid: jnp.ndarray,  # (P,) bool
+    w_hyp: jnp.ndarray,  # (H, P) minimal-hypothesis weight rows
+    factor: jnp.ndarray,  # scalar inlier_threshold_factor
+    irls_iterations: int,
+):
+    """One fused device program: score all LMedS hypotheses (vmapped
+    4-point Umeyama fits + masked-median residuals), take the best, then
+    run the IRLS Umeyama polish as a lax.scan. Replaces 64 + 8 sequential
+    per-hypothesis device round trips with a single call — the per-node
+    serialization VERDICT r3 #8 flagged at deep-tree scale."""
+    from gtsfm_tpu.geometry.sim3 import _masked_median
+
+    def resid_of(w):
+        sim = align_points_umeyama(pb, pa, weights=w)
+        return jnp.linalg.norm(sim.transform(pb) - pa, axis=-1)
+
+    resid_h = jax.vmap(resid_of)(w_hyp)  # (H, P)
+    med_h = jax.vmap(lambda r: _masked_median(r, valid))(resid_h)  # (H,)
+    best = jnp.argmin(med_h)
+    med0 = jnp.maximum(med_h[best], 1e-9)
+    scale0 = factor * med0
+    r0 = resid_h[best]
+    w0 = jnp.where(valid, scale0**2 / (scale0**2 + r0**2), 0.0)
+
+    def irls_step(w, _):
+        r = resid_of(w)
+        med = jnp.maximum(_masked_median(r, valid), 1e-9)
+        s = factor * med
+        return jnp.where(valid, s**2 / (s**2 + r**2), 0.0), None
+
+    w_f, _ = jax.lax.scan(irls_step, w0, None, length=irls_iterations)
+    sim = align_points_umeyama(pb, pa, weights=w_f)
+    r_f = resid_of(w_f)
+    med_f = jnp.maximum(_masked_median(r_f, valid), 1e-9)
+    inliers = valid & (r_f < factor * med_f)
+    return sim, inliers
+
+
 def sim3_from_point_pairs(
     pa: np.ndarray, pb: np.ndarray, opts: MergeOptions = MergeOptions()
 ) -> tuple:
-    """Robust Sim3 mapping points b -> frame a via IRLS Umeyama.
+    """Robust Sim3 mapping points b -> frame a via LMedS-initialized IRLS
+    Umeyama, fully batched on device (hypotheses vmapped, polish scanned).
 
-    Returns (Sim3, inlier_mask, ok)."""
+    Returns (Sim3, inlier_mask, ok). Parity: cluster_merging.py:73-163
+    (Sim3 from shared-track correspondences with robust alignment)."""
     n = len(pa)
     if n < opts.min_3d3d_pairs:
         return Sim3.identity(), np.zeros(n, bool), False
-    pa_j = jnp.asarray(pa, jnp.float32)
-    pb_j = jnp.asarray(pb, jnp.float32)
+
+    # pad the pair axis to a pow2 bucket so merge nodes of different sizes
+    # share one XLA executable
+    P = max(8, 1 << (n - 1).bit_length())
+    pa_p = np.zeros((P, 3), np.float32)
+    pb_p = np.zeros((P, 3), np.float32)
+    pa_p[:n] = pa
+    pb_p[:n] = pb
+    valid = np.zeros(P, bool)
+    valid[:n] = True
 
     # LMedS initialization: minimal 4-point Umeyama hypotheses scored by
     # median residual — a straight IRLS from the full set collapses when
     # gross outliers dominate the initial unweighted fit
     rng = np.random.default_rng(0)
-    best_med, best_w = np.inf, np.ones(n, np.float32)
-    for _ in range(min(64, 4 * n)):
-        idx = rng.choice(n, 4, replace=False)
-        w_h = np.zeros(n, np.float32)
-        w_h[idx] = 1.0
-        sim_h = align_points_umeyama(pb_j, pa_j, weights=jnp.asarray(w_h))
-        resid = np.linalg.norm(np.asarray(sim_h.transform(pb_j)) - pa, axis=-1)
-        med = np.median(resid)
-        if med < best_med:
-            best_med = med
-            scale = opts.inlier_threshold_factor * max(med, 1e-9)
-            best_w = (scale**2 / (scale**2 + resid**2)).astype(np.float32)
+    H = 64
+    n_distinct = min(H, 4 * n)  # tiny sets need fewer distinct hypotheses
+    w_hyp = np.zeros((H, P), np.float32)
+    for h in range(H):
+        w_hyp[h, rng.choice(n, 4, replace=False) if h < n_distinct else [0, 1, 2, 3]] = 1.0
 
-    w = best_w
-    sim = None
-    for _ in range(opts.irls_iterations):
-        sim = align_points_umeyama(pb_j, pa_j, weights=jnp.asarray(w))
-        resid = np.linalg.norm(np.asarray(sim.transform(pb_j)) - pa, axis=-1)
-        med = max(np.median(resid), 1e-9)
-        scale = opts.inlier_threshold_factor * med
-        w = (scale**2 / (scale**2 + resid**2)).astype(np.float32)
-    resid = np.linalg.norm(np.asarray(sim.transform(pb_j)) - pa, axis=-1)
-    inliers = resid < opts.inlier_threshold_factor * max(np.median(resid), 1e-9)
+    sim, inliers = _lmeds_irls_sim3(
+        jnp.asarray(pb_p), jnp.asarray(pa_p), jnp.asarray(valid),
+        jnp.asarray(w_hyp), jnp.float32(opts.inlier_threshold_factor),
+        irls_iterations=opts.irls_iterations,
+    )
+    inliers = np.asarray(inliers)[:n]
     ok = inliers.sum() >= opts.min_3d3d_pairs
-    return sim, inliers, ok
+    return sim, inliers, bool(ok)
 
 
 def concatenate_scenes(

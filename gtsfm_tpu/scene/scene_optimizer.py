@@ -669,14 +669,24 @@ class SceneOptimizer:
         W = int(round(float(K[0, 2]) * 2)) or 640
         out_dir = os.path.join(results_dir, "splat_video")
         os.makedirs(out_dir, exist_ok=True)
+        from PIL import Image as _PILImage
+
+        frames = []
         for f in range(n_frames):
             wTc = SE3(R=path.R[f], t=path.t[f])
             img, _ = render_tiled(gs_result, wTc, jnp.asarray(K), H, W)
             arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
-            from PIL import Image as _PILImage
-
-            _PILImage.fromarray(arr).save(
-                os.path.join(out_dir, f"frame_{f:04d}.png")
+            frame = _PILImage.fromarray(arr)
+            frame.save(os.path.join(out_dir, f"frame_{f:04d}.png"))
+            frames.append(frame)
+        # animated fly-through (codec-free GIF; the reference encodes an
+        # mp4 via gsplat+ffmpeg, splat/rendering.py:102-197) — linked from
+        # the results browser (visualization/viewer.py)
+        if frames:
+            frames[0].save(
+                os.path.join(results_dir, "splat_flythrough.gif"),
+                save_all=True, append_images=frames[1:],
+                duration=max(1000 // 24, 20), loop=0,
             )
 
     # ------------------------------------------------------------------

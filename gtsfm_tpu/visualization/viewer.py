@@ -101,27 +101,71 @@ const scale = {scale};
 
 
 def scan_results_and_build_index(results_root: str, output_path: str) -> list:
-    """Scan a results tree for COLMAP scenes (like the Flask app) and emit
-    viewer HTMLs + an index page. Returns the scene dirs found."""
+    """Scan a results tree for COLMAP scenes (like the reference's Flask
+    app, visualization/app.py:10-40) and emit viewer HTMLs + an index page
+    that also links splat PLYs, fly-through GIFs, and metric reports.
+    Returns the scene dirs found."""
     from gtsfm_tpu.io import colmap as colmap_io
 
     scenes = []
     for dirpath, _dirs, files in os.walk(results_root):
         if {"cameras.txt", "images.txt", "points3D.txt"} <= set(files):
             scenes.append(dirpath)
+    out_dir = os.path.dirname(output_path) or "."
     links = []
     for s in scenes:
         data = colmap_io.read_scene(s)
         rel = os.path.relpath(s, results_root).replace(os.sep, "_")
-        out = os.path.join(os.path.dirname(output_path), f"scene_{rel}.html")
+        out = os.path.join(out_dir, f"scene_{rel}.html")
         export_scene_html(data, out)
-        links.append((rel, os.path.basename(out), data.number_tracks()))
+        extras = []
+        parent = os.path.dirname(s)
+        for name, label in [
+            ("splat_flythrough.gif", "fly-through"),
+            ("splats.ply", "splats"),
+            ("gaussian_points.ply", "gaussian cloud"),
+            ("metrics_report.html", "metrics"),
+        ]:
+            for base in (s, parent):
+                p = os.path.join(base, name)
+                if os.path.isfile(p):
+                    extras.append((label, os.path.relpath(p, out_dir)))
+                    break
+        links.append((rel, os.path.basename(out), data.number_tracks(), extras))
     with open(output_path, "w") as f:
-        f.write("<html><body><h1>gtsfm_tpu scenes</h1><ul>")
-        for rel, href, ntracks in links:
-            f.write(f'<li><a href="{href}">{rel}</a> ({ntracks} tracks)</li>')
+        f.write(
+            "<html><body style='font-family:sans-serif'>"
+            "<h1>gtsfm_tpu scenes</h1><ul>"
+        )
+        for rel, href, ntracks, extras in links:
+            extra_html = " ".join(
+                f'&middot; <a href="{p}">{label}</a>' for label, p in extras
+            )
+            f.write(
+                f'<li><a href="{href}">{rel}</a> ({ntracks} tracks) {extra_html}</li>'
+            )
         f.write("</ul></body></html>")
     return scenes
+
+
+def serve_results(results_root: str, port: int = 8080) -> None:
+    """Scan + serve the results browser over HTTP (the reference runs a
+    Flask app for this, visualization/app.py:10-40; stdlib http.server
+    keeps the framework dependency-free). Blocks until interrupted."""
+    import functools
+    import http.server
+
+    index = os.path.join(results_root, "index.html")
+    scenes = scan_results_and_build_index(results_root, index)
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=results_root
+    )
+    with http.server.ThreadingHTTPServer(("", port), handler) as httpd:
+        print(
+            f"serving {len(scenes)} scenes from {results_root} "
+            f"at http://localhost:{port}/index.html"
+        )
+        httpd.serve_forever()
 
 
 def main(argv=None):
@@ -132,6 +176,7 @@ def main(argv=None):
 
         python -m gtsfm_tpu.visualization.viewer <colmap_dir> [out.html]
         python -m gtsfm_tpu.visualization.viewer --scan <results_root> [index.html]
+        python -m gtsfm_tpu.visualization.viewer --serve <results_root> [--port 8080]
     """
     import argparse
 
@@ -142,8 +187,13 @@ def main(argv=None):
     ap.add_argument("output", nargs="?", default=None)
     ap.add_argument("--scan", action="store_true",
                     help="scan a results tree and build an index page")
+    ap.add_argument("--serve", action="store_true",
+                    help="scan + serve the results browser over HTTP")
+    ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args(argv)
-    if args.scan:
+    if args.serve:
+        serve_results(args.path, port=args.port)
+    elif args.scan:
         out = args.output or os.path.join(args.path, "index.html")
         entries = scan_results_and_build_index(args.path, out)
         print(f"indexed {len(entries)} scenes -> {out}")

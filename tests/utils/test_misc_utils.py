@@ -73,6 +73,46 @@ def test_viewer_and_viz(tmp_path):
     assert viewer_cli.main(["--scan", str(tmp_path / "results")]) == 0
 
 
+def test_results_browser_served_over_http(tmp_path):
+    """The served results browser (reference: Flask visualization/app.py)
+    scans COLMAP scenes + splat artifacts and serves them over HTTP."""
+    import threading
+    import urllib.request
+
+    from gtsfm_tpu.io import colmap as colmap_io
+    from gtsfm_tpu.visualization import viewer
+
+    data = make_synthetic_scene()
+    colmap_io.write_scene(data, str(tmp_path / "results" / "ba_output"))
+    # a fake fly-through GIF next to the scene gets linked from the index
+    (tmp_path / "results" / "splat_flythrough.gif").write_bytes(b"GIF89a")
+
+    import functools
+    import http.server
+
+    index = tmp_path / "results" / "index.html"
+    viewer.scan_results_and_build_index(str(tmp_path / "results"), str(index))
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path / "results")
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/index.html", timeout=10
+        ).read().decode()
+        assert "ba_output" in page and "fly-through" in page
+        scene_href = page.split('href="')[1].split('"')[0]
+        scene = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/{scene_href}", timeout=10
+        ).read().decode()
+        assert "const points" in scene
+    finally:
+        httpd.shutdown()
+
+
 def test_synthetic_correspondences_end_to_end():
     """Synthetic front-end drives the MVO back-end (noise-free)."""
     from gtsfm_tpu.frontend.synthetic import SyntheticCorrespondenceGenerator, SyntheticOptions
