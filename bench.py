@@ -431,39 +431,242 @@ def _splat_bench():
     return (time.perf_counter() - t0) / REP * 1e3
 
 
+def _load_palace_structure(palace: str):
+    """Real palace-fine-arts-281 graph structure: verified visibility edges
+    (4139 pairs / 281 cams) + the reference's saved NetVLAD similarity
+    matrix. The fixture ships no images, so these two files ARE the real
+    data (the COLMAP dirs beside them are a sample payload)."""
+    import csv
+    import os
+
+    edges = set()
+    with open(os.path.join(palace, "visibility_graph.csv")) as f:
+        for row in csv.DictReader(f):
+            i, j = int(row["i"]), int(row["j"])
+            edges.add((min(i, j), max(i, j)))
+    edges = np.array(sorted(edges), np.int32)
+    rows = []
+    with open(os.path.join(palace, "netvlad_similarity_matrix.txt")) as f:
+        for line in f:
+            line = line.strip().rstrip(",")
+            if line:
+                rows.append([float(x) for x in line.split(",")])
+    sim = np.array(rows, np.float32)
+    sim = np.where(np.isfinite(sim), sim, -1.0)
+    sim = np.maximum(sim, sim.T)
+    return edges, sim
+
+
+def _palace_bench():
+    """Reference-benchmark-scale end-to-end: palace-fine-arts-281, the
+    largest scene in the reference's CI matrix this image mounts
+    (/root/reference/.github/workflows/ci.yml:70 runs it at res 320).
+
+    The mounted fixture carries the REAL 281-camera / 4139-edge verified
+    visibility graph and the REAL NetVLAD similarity matrix but no images,
+    so GT geometry is synthesized conditioned on the real graph (Fiedler-
+    ordered camera ring; loader/synthetic.py) and correspondences are
+    projected along the real edges — the reference's own synthetic-front-end
+    validation strategy (synthetic_correspondence_generator.py:36) at its CI
+    benchmark scale. The timed section is the PRODUCTION SceneOptimizer:
+    two-view estimation over all 4139 pairs -> METIS partition ->
+    per-cluster MVO -> hierarchical Sim3 merge -> final poses, on-device.
+    """
+    import os
+
+    palace = "/root/reference/tests/data/palace"
+    if not os.path.isdir(palace):
+        return {}
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.evaluation.metrics import pose_auc
+    from gtsfm_tpu.frontend.synthetic import (
+        SyntheticCorrespondenceGenerator,
+        SyntheticOptions,
+    )
+    from gtsfm_tpu.geometry import Cal3Bundler, so3
+    from gtsfm_tpu.geometry.sim3 import align_poses_sim3
+    from gtsfm_tpu.loader.synthetic import SyntheticSceneLoader, spectral_ring_poses
+    from gtsfm_tpu.retriever.retrievers import pairs_from_similarity_matrix
+    from gtsfm_tpu.scene.scene_optimizer import SceneOptimizer, SceneOptimizerOptions
+
+    edges, sim = _load_palace_structure(palace)
+    n = int(edges.max()) + 1
+
+    # retrieval fidelity on the real similarity matrix: how much of the
+    # reference's verified graph does our top-K similarity retrieval recover
+    retr = pairs_from_similarity_matrix(sim, num_matched=15, min_score=0.3)
+    edge_set = {tuple(e) for e in edges.tolist()}
+    retr_set = {tuple(e) for e in retr.tolist()}
+    recall = len(edge_set & retr_set) / max(len(edge_set), 1)
+
+    poses = spectral_ring_poses(edges, n)
+    h, w = 240, 320  # the reference CI resolution for this scene
+    cal = Cal3Bundler.create(
+        jnp.full(n, 300.0), jnp.zeros(n), jnp.zeros(n),
+        jnp.full(n, w / 2.0), jnp.full(n, h / 2.0),
+    )
+    loader = SyntheticSceneLoader(poses, cal=cal, image_size=(h, w))
+
+    class _FixedPairs:
+        def get_image_pairs(self, num_images, global_descriptors=None, loader=None):
+            return edges
+
+    so = SceneOptimizer(
+        SceneOptimizerOptions(
+            hierarchical=True,
+            max_cluster_size=40,
+            save_colmap=False,
+            reconnect_bridges=False,
+        ),
+        retriever=_FixedPairs(),
+        correspondence=SyntheticCorrespondenceGenerator(
+            SyntheticOptions(num_points=800, noise_px=0.4, seed=0)
+        ),
+    )
+    t0 = time.perf_counter()
+    data, groups = so.run(loader)
+    wall = time.perf_counter() - t0
+    stage_sec = {}
+    for g in groups:
+        for m in g.metrics:
+            if m.dist is None and (m.name.endswith("_sec") or m.name.endswith("_secs")):
+                stage_sec[m.name] = round(float(m.scalar), 1)
+
+    est_mask = np.asarray(data.pose_mask)
+    sim3 = align_poses_sim3(data.poses, poses, mask=jnp.asarray(est_mask))
+    aligned = sim3.transform_pose(data.poses)
+    r_err = np.asarray(so3.relative_angle_deg(aligned.R, poses.R))[est_mask]
+    t_err = np.linalg.norm(
+        np.asarray(aligned.t) - np.asarray(poses.t), axis=-1
+    )[est_mask]
+    auc = pose_auc(r_err)
+    return {
+        "palace281_wall_sec": round(wall, 1),
+        "palace281_images": n,
+        "palace281_pairs": int(len(edges)),
+        "palace281_registered": int(est_mask.sum()),
+        "palace281_med_rot_err_deg": round(float(np.median(r_err)), 3),
+        "palace281_med_trans_err": round(float(np.median(t_err)), 3),
+        "palace281_rot_auc5": round(auc["pose_auc_@5.0_deg"], 4),
+        "palace281_retrieval_recall_top15": round(recall, 3),
+        "palace281_stage_sec": stage_sec,
+    }
+
+
+def _probe_backend(timeout_s: float = 240.0):
+    """Check the default jax backend initializes AND dispatches, in a
+    SUBPROCESS (an in-process wedged-TPU init hangs uninterruptibly — the
+    round-3 failure mode). Returns (ok, note)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(jax.devices()[0].platform, float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+        )
+        if r.returncode == 0:
+            return True, r.stdout.decode().strip()
+        return False, (r.stderr or b"").decode()[-400:]
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe hung > {timeout_s:.0f}s (wedged TPU init)"
+
+
+class _MetricTimeout(Exception):
+    pass
+
+
+def _run_metric(name, fn, timeout_s, errors):
+    """Run one benchmark bounded by SIGALRM; never let one metric kill the
+    round's evidence. Returns fn() or None (with errors[name] set)."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _MetricTimeout(f"{name} exceeded {timeout_s}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(timeout_s))
+    try:
+        return fn()
+    except BaseException as e:  # noqa: BLE001 — evidence must survive anything
+        errors[name] = f"{type(e).__name__}: {e}"[:300]
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
+    import os
+
+    errors = {}
+    # ---- backend health gate (round-3 postmortem: a wedged axon TPU hung
+    # the first dispatch; probe in a subprocess, retry once, fall back to
+    # CPU so the driver ALWAYS gets a JSON line) -------------------------
+    ok, note = _probe_backend()
+    if not ok:
+        ok2, note2 = _probe_backend(timeout_s=120.0)
+        if not ok2:
+            errors["backend"] = (
+                f"default backend unhealthy ({note}; retry: {note2}); "
+                "fell back to JAX_PLATFORMS=cpu"
+            )
+            os.environ["JAX_PLATFORMS"] = "cpu"
+
     from gtsfm_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    import jax
 
-    pairs_per_sec, tflops, mfu_pct = _two_view_bench()
-    lg_pairs_per_sec, lg_tflops = _deep_matcher_bench()
-    ba_iters_per_sec, ba_meas = _ba_bench()
-    ba_scale_iters_per_sec, ba_scale_meas = _ba_scale_bench()
-    door_cold, door_warm, parity = _door_bench()
-    splat_ms = _splat_bench()
+    platform = jax.devices()[0].platform
+
+    pairs = _run_metric("two_view", _two_view_bench, 1200, errors)
+    lg = _run_metric("lightglue", _deep_matcher_bench, 1200, errors)
+    ba = _run_metric("ba", _ba_bench, 1200, errors)
+    ba_scale = _run_metric("ba_scale", _ba_scale_bench, 1800, errors)
+    splat = _run_metric("splat", _splat_bench, 1200, errors)
+    door = _run_metric("door", _door_bench, 3000, errors)
+    palace = _run_metric("palace_e2e", _palace_bench, 3000, errors)
+
+    pairs_per_sec, tflops, mfu_pct = pairs if pairs else (None, None, None)
+    lg_pairs_per_sec, lg_tflops = lg if lg else (None, None)
+    ba_iters_per_sec, ba_meas = ba if ba else (None, "n/a")
+    ba_scale_iters_per_sec, ba_scale_meas = ba_scale if ba_scale else (None, "n/a")
+    door_cold, door_warm, parity = door if door else (None, None, {})
+    splat_ms = splat
+
+    def rnd(x, n=2):
+        return None if x is None else round(x, n)
 
     baseline_pairs, baseline_ba, baseline_door = 20.0, 10.0, 600.0
     out = {
         "metric": "two_view_pairs_per_sec",
-        "value": round(pairs_per_sec, 1),
+        "value": rnd(pairs_per_sec, 1),
         "unit": "pairs/s (1024kp, 512-hyp E-RANSAC + GN polish)",
-        "vs_baseline": round(pairs_per_sec / baseline_pairs, 2),
+        "vs_baseline": rnd(None if pairs_per_sec is None else pairs_per_sec / baseline_pairs),
         "extra": {
-            "two_view_tflops_per_sec": round(tflops, 3),
-            "two_view_mfu_pct_of_bf16_peak": round(mfu_pct, 3),
-            "lightglue_pairs_per_sec": round(lg_pairs_per_sec, 1),
-            "lightglue_tflops_per_sec": round(lg_tflops, 2),
-            "ba_lm_iters_per_sec": round(ba_iters_per_sec, 2),
+            "platform": platform,
+            "two_view_tflops_per_sec": rnd(tflops, 3),
+            "two_view_mfu_pct_of_bf16_peak": rnd(mfu_pct, 3),
+            "lightglue_pairs_per_sec": rnd(lg_pairs_per_sec, 1),
+            "lightglue_tflops_per_sec": rnd(lg_tflops),
+            "ba_lm_iters_per_sec": rnd(ba_iters_per_sec),
             "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
-            "ba_vs_baseline": round(ba_iters_per_sec / baseline_ba, 2),
-            "ba_scale_lm_iters_per_sec": round(ba_scale_iters_per_sec, 2),
+            "ba_vs_baseline": rnd(None if ba_iters_per_sec is None else ba_iters_per_sec / baseline_ba),
+            "ba_scale_lm_iters_per_sec": rnd(ba_scale_iters_per_sec),
             "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, entry/LM+PCG",
-            "splat_tiled_ms_per_frame_100k": round(splat_ms, 1),
-            "door_e2e_cold_sec": None if door_cold is None else round(door_cold, 1),
-            "door_e2e_warm_sec": None if door_warm is None else round(door_warm, 1),
-            "door_vs_baseline": None if door_warm is None else round(baseline_door / door_warm, 2),
+            "splat_tiled_ms_per_frame_100k": rnd(splat_ms, 1),
+            "door_e2e_cold_sec": rnd(door_cold, 1),
+            "door_e2e_warm_sec": rnd(door_warm, 1),
+            "door_vs_baseline": rnd(None if door_warm is None else baseline_door / door_warm),
             **parity,
+            **(palace or {}),
+            "errors": errors,
             "baselines": "documented anchors, reference not runnable here (see module docstring)",
         },
     }
