@@ -939,7 +939,7 @@ def _schur_solve_dense(Jc_e, Jp_e, r_e, w_e, A, n_cam, n_track, L, fixed_cam,
     Jp = Jp_e * sw[None, None]
     rw = r_e * sw[None]
     free = (~fixed_cam).astype(f32)
-    free_m = jnp.einsum("nlt,n->lt", A, free)  # (L, T)
+    free_m = jnp.einsum("nlt,n->lt", A, free, precision=hp)  # (L, T)
     if dc > 0:
         Jc = jnp.concatenate(
             [Jc[:, : d - dc] * free_m[None, None], Jc[:, d - dc :]], axis=1
@@ -975,7 +975,7 @@ def _schur_solve_dense(Jc_e, Jp_e, r_e, w_e, A, n_cam, n_track, L, fixed_cam,
 
     # S = blockdiag(Hcc_d) - U,  U = sum_t Y_t Hpp_inv_t Y_t^T
     Y = jnp.einsum("nlt,iklt->iknt", A, Wd, precision=hp)  # (d, 3, N, T)
-    Y2 = jnp.einsum("kqt,jqnt->jknt", Hpp_inv, Y)  # (d, 3, N, T)
+    Y2 = jnp.einsum("kqt,jqnt->jknt", Hpp_inv, Y, precision=hp)  # (d, 3, N, T)
     U = jnp.einsum("iknt,jkmt->nimj", Y, Y2, precision=hp)  # (N, d, N, d)
     S = (-U).at[jnp.arange(n_cam), :, jnp.arange(n_cam), :].add(Hcc_d)
     if rel_coupling is not None:
@@ -988,7 +988,7 @@ def _schur_solve_dense(Jc_e, Jp_e, r_e, w_e, A, n_cam, n_track, L, fixed_cam,
         n_free_g = jnp.maximum(jnp.sum(free), 1.0)
         g_kar = p_einsum("nji,j->ni", R0g, mean_dev)
         g_c = g_c.at[:, :3].add((k_w2 / n_free_g) * g_kar * free[:, None])
-        K = (k_w2 / n_free_g**2) * jnp.einsum("nji,mjk->nimk", R0g, R0g)
+        K = (k_w2 / n_free_g**2) * jnp.einsum("nji,mjk->nimk", R0g, R0g, precision=hp)
         K = K * free[:, None, None, None] * free[None, None, :, None]
         S = S.at[:, :3, :, :3].add(K)
 
@@ -1075,7 +1075,7 @@ def _extras_cost(prob: BAProblem, opts: BAOptions, extras) -> jnp.ndarray:
     if opts.gauge == "karcher":
         from gtsfm_tpu.geometry import so3 as _so3
 
-        dev = _so3.logmap(jnp.einsum("nij,nkj->nik", prob.poses.R, R0))
+        dev = _so3.logmap(jnp.einsum("nij,nkj->nik", prob.poses.R, R0, precision=jax.lax.Precision.HIGHEST))
         # free-masked mean, matching _karcher_dev (the solver's model) so
         # the accept/reject cost and the step direction share one objective
         freeN = (~prob.fixed_cam).astype(dev.dtype)[:, None]
@@ -1144,7 +1144,7 @@ def _optimize_jit(prob: BAProblem, opts: BAOptions):
     def _karcher_dev(poses):
         from gtsfm_tpu.geometry import so3 as _so3
 
-        dev = _so3.logmap(jnp.einsum("nij,nkj->nik", poses.R, R0))
+        dev = _so3.logmap(jnp.einsum("nij,nkj->nik", poses.R, R0, precision=jax.lax.Precision.HIGHEST))
         freeN = (~prob.fixed_cam).astype(dev.dtype)[:, None]
         return jnp.sum(dev * freeN, axis=0) / jnp.maximum(jnp.sum(freeN), 1.0)
 

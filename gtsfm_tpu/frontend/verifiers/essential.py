@@ -125,7 +125,7 @@ def essential_information_spectrum(x1, x2, w, R, t):
 
     def residual(params):
         Rn = mm(R, so3.expmap(params[:3]))
-        tn = t + basis(t) @ params[3:]
+        tn = t + p_einsum("ij,j->i", basis(t), params[3:])
         tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
         E = mm(so3.hat(tn), Rn)
         return jnp.sqrt(jnp.maximum(_sampson_error(E, x1, x2), 1e-18))
@@ -219,7 +219,7 @@ def _refine_essential(x1, x2, w, R0, t0, iters: int, huber: float, thresh):
         dt = params[3:]
         Rn = mm(R, so3.expmap(wr))
         B = basis(t)
-        tn = t + B @ dt
+        tn = t + p_einsum("ij,j->i", B, dt)
         tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
         E = make_E(Rn, tn)
         err2 = _sampson_error(E, x1, x2)
@@ -233,8 +233,11 @@ def _refine_essential(x1, x2, w, R0, t0, iters: int, huber: float, thresh):
         k = huber * thresh
         w_rob = jnp.minimum(1.0, k / jnp.maximum(r, 1e-12))
         ww = w * w_rob
-        H = (J * ww[:, None]).T @ J + lam * jnp.eye(5) * 10.0 + 1e-9 * jnp.eye(5)
-        g = (J * ww[:, None]).T @ r
+        # K-row reductions MUST stay f32: bf16 MXU accumulation here costs
+        # ~3 digits in the 5-dof GN step and measurably degrades the final
+        # pose (the round-3 TPU-stream Door AUC gap)
+        H = p_einsum("ki,kj->ij", J * ww[:, None], J) + lam * jnp.eye(5) * 10.0 + 1e-9 * jnp.eye(5)
+        g = p_einsum("ki,k->i", J * ww[:, None], r)
         delta = jnp.linalg.solve(H, -g)
 
         def cost(params):
@@ -247,7 +250,7 @@ def _refine_essential(x1, x2, w, R0, t0, iters: int, huber: float, thresh):
         dt = jnp.where(accept, delta[3:], 0.0)
         R_new = mm(R, so3.expmap(wr))
         B = basis(t)
-        t_new = t + B @ dt
+        t_new = t + p_einsum("ij,j->i", B, dt)
         t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
         lam_new = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e4)
         return (R_new, t_new, lam_new), None

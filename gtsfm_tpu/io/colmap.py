@@ -21,6 +21,40 @@ from gtsfm_tpu.geometry import SE3, Cal3Bundler, Cal3_S2, Cal3DS2, Cal3Fisheye, 
 from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
 
 
+def _rotmat_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """Batched (N, 3, 3) -> (N, 4) quaternion (w, x, y, z), w >= 0.
+
+    Host-numpy mirror of so3.to_quat (branch-free Shepperd): export paths
+    must not issue eager device ops per camera."""
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    q2 = np.stack([
+        np.maximum(0.0, 1.0 + m00 + m11 + m22),
+        np.maximum(0.0, 1.0 + m00 - m11 - m22),
+        np.maximum(0.0, 1.0 - m00 + m11 - m22),
+        np.maximum(0.0, 1.0 - m00 - m11 + m22),
+    ], -1)
+    s = 2.0 * np.sqrt(np.maximum(q2, 1e-9))
+    sw, sx, sy, sz = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    cands = np.stack([
+        np.stack([0.25 * sw, (m21 - m12) / sw,
+                  (m02 - m20) / sw, (m10 - m01) / sw], -1),
+        np.stack([(m21 - m12) / sx, 0.5 * (0.5 * sx),
+                  (m01 + m10) / sx, (m02 + m20) / sx], -1),
+        np.stack([(m02 - m20) / sy, (m01 + m10) / sy,
+                  0.5 * (0.5 * sy), (m12 + m21) / sy], -1),
+        np.stack([(m10 - m01) / sz, (m02 + m20) / sz,
+                  (m12 + m21) / sz, 0.5 * (0.5 * sz)], -1),
+    ], -2)  # (..., 4 candidates, 4)
+    best = np.argmax(q2, axis=-1)
+    q = np.take_along_axis(cands, best[..., None, None].repeat(4, -1), -2)[..., 0, :]
+    q /= np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    q *= np.where(q[..., :1] < 0, -1.0, 1.0)
+    return q
+
+
 def _quat_to_R(qw, qx, qy, qz) -> np.ndarray:
     return np.asarray(so3.from_quat(jnp.asarray([qw, qx, qy, qz], jnp.float32)))
 
@@ -255,6 +289,13 @@ def write_scene(data: SfmData, dirpath: str) -> None:
             w, h = sizes[i]
             f.write(_camera_line(i, data.cal, w, h) + "\n")
 
+    # batch the world->cam quaternion conversion in HOST numpy: a per-camera
+    # eager so3.to_quat costs ~1.5s of remote-TPU op dispatches (round-4
+    # palace profile: 115 calls = 153s of wall for a pure export step)
+    R_cw_all = np.transpose(Rs, (0, 2, 1))
+    t_cw_all = -np.einsum("nij,nj->ni", R_cw_all, ts)
+    q_all = _rotmat_to_quat_np(R_cw_all)
+
     with open(os.path.join(dirpath, "images.txt"), "w") as f:
         f.write("# Image list with two lines of data per image:\n")
         f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
@@ -262,9 +303,8 @@ def write_scene(data: SfmData, dirpath: str) -> None:
         for i in range(data.max_cameras):
             if not pose_mask[i]:
                 continue
-            R_cw = Rs[i].T
-            t_cw = -Rs[i].T @ ts[i]
-            q = np.asarray(so3.to_quat(jnp.asarray(R_cw)))
+            t_cw = t_cw_all[i]
+            q = q_all[i]
             f.write(
                 f"{i + 1} {q[0]} {q[1]} {q[2]} {q[3]} {t_cw[0]} {t_cw[1]} {t_cw[2]} {i + 1} {names[i]}\n"
             )

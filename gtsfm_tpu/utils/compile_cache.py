@@ -19,6 +19,23 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/gtsfm_tpu/xla")
 _enabled = False
 
 
+def _host_signature() -> str:
+    """Short stable id of this host's CPU feature set (see enable docstring)."""
+    import hashlib
+    import platform
+
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    sig += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return "host-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(path: str | None = None) -> bool:
     """Idempotently turn on JAX's persistent compilation cache.
 
@@ -32,11 +49,20 @@ def enable_persistent_cache(path: str | None = None) -> bool:
     import jax
 
     cache_dir = path or os.environ.get("GTSFM_TPU_COMPILE_CACHE", _DEFAULT_DIR)
+    # Partition by host CPU signature: XLA:CPU AOT executables are keyed by
+    # the COMPILE machine's feature set, and loading one on a host missing
+    # those features (driver boxes differ) risks SIGILL — observed as
+    # cpu_aot_loader "machine type doesn't match" errors when one shared dir
+    # served two hosts. TPU executables are host-independent but cheap to
+    # recompile once per box, so one per-host namespace covers both safely.
+    cache_dir = os.path.join(cache_dir, _host_signature())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache everything that takes noticeable time; tiny kernels stay out
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache EVERYTHING: a remote-TPU (axon) compile round trip costs
+        # ~0.6s even for tiny kernels, and a scene run issues hundreds of
+        # them (round-4 palace profile: 1487 compiles = 940s of wall)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _enabled = True
         return True
