@@ -288,6 +288,12 @@ def _edge_residual(wRi1, wRi2, R_e):
     return so3.logmap(mm(jnp.swapaxes(mm(wRi2, R_e), -1, -2), wRi1))
 
 
+@jax.jit
+def _edge_residual_gathered(wRi, edges, R_e):
+    """_edge_residual over edge-gathered rotations as ONE compiled unit."""
+    return _edge_residual(wRi[edges[:, 0]], wRi[edges[:, 1]], R_e)
+
+
 @partial(jax.jit, static_argnames=("num_images", "opts"))
 def _refine(
     num_images: int,
@@ -420,7 +426,10 @@ class RotationAveraging:
         R_j = jnp.asarray(i2Ri1, jnp.float32)
         wRi = _refine(num_images, wRi0, edges_j, R_j, jnp.asarray(w), self.options)
         if self.options.rerefine_reject_deg > 0:
-            res = _edge_residual(wRi[edges_j[:, 0]], wRi[edges_j[:, 1]], R_j)
+            # one jitted call, not an eager op chain: each eager dispatch
+            # costs a remote-TPU tunnel round trip (~33 ms), and this runs
+            # once per cluster node in the hierarchical pipeline
+            res = _edge_residual_gathered(wRi, edges_j, R_j)
             ang = np.degrees(np.linalg.norm(np.asarray(res), axis=-1))
             w2 = w * (ang <= self.options.rerefine_reject_deg)
             if w2.sum() >= num_images - 1 and (w2 > 0).sum() < (w > 0).sum():
