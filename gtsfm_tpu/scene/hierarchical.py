@@ -222,16 +222,25 @@ class HierarchicalReconstruction:
         # parity); fold semantics identical to ClusterTree.map_postorder
         self.node_results = []
 
+        import time as _time
+
+        phase_sec = {"leaf": 0.0, "merge": 0.0}
+
         def walk(node: ClusterTree, path: tuple):
             child_results = [
                 walk(c, path + (k + 1,)) for k, c in enumerate(node.children)
             ]
+            t0 = _time.perf_counter()
             result = fold(node, child_results)
+            phase = "leaf" if (node.is_leaf or not child_results) else "merge"
+            phase_sec[phase] += _time.perf_counter() - t0
             if result is not None:
                 self.node_results.append((path, result[0]))
             return result
 
         final = walk(tree, ())
+        metrics["leaf_mvo_sec"] = round(phase_sec["leaf"], 1)
+        metrics["merge_sec"] = round(phase_sec["merge"], 1)
         metrics["cluster_metrics"] = cluster_metrics
         if final is None:
             return SfmData.empty(num_images, meta=meta), {**metrics, "failed": True}

@@ -337,6 +337,7 @@ class SceneOptimizer:
             image_names=loader.image_filenames(),
             image_sizes=[(w, h) for (h, w) in sizes],
         )
+        t_mvo = time.perf_counter()
         if opts.hierarchical:
             from gtsfm_tpu.scene.hierarchical import (
                 HierarchicalOptions,
@@ -366,6 +367,7 @@ class SceneOptimizer:
                 cal=cal,
                 meta=meta,
             )
+        mvo_metrics["backend_sec"] = time.perf_counter() - t_mvo
         mvo_group = MetricsGroup(
             "multiview_optimizer_metrics",
             [Metric(k, v) for k, v in mvo_metrics.items() if isinstance(v, (int, float))],
