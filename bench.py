@@ -583,18 +583,27 @@ class _MetricTimeout(Exception):
 
 def _run_metric(name, fn, timeout_s, errors):
     """Run one benchmark bounded by SIGALRM; never let one metric kill the
-    round's evidence. Returns fn() or None (with errors[name] set)."""
+    round's evidence. Returns fn() or None (with errors[name] set).
+    Progress goes to stderr so stdout stays the single driver JSON line."""
     import signal
+    import sys
 
     def _raise(signum, frame):
         raise _MetricTimeout(f"{name} exceeded {timeout_s}s")
 
     old = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(int(timeout_s))
+    t0 = time.perf_counter()
     try:
-        return fn()
+        out = fn()
+        print(f"[bench] {name} done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        return out
     except BaseException as e:  # noqa: BLE001 — evidence must survive anything
         errors[name] = f"{type(e).__name__}: {e}"[:300]
+        print(
+            f"[bench] {name} FAILED after {time.perf_counter() - t0:.1f}s: "
+            f"{errors[name]}", file=sys.stderr,
+        )
         return None
     finally:
         signal.alarm(0)
