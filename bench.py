@@ -612,8 +612,79 @@ def _run_metric(name, fn, timeout_s, errors):
 
 def main():
     import os
+    import signal
+    import sys
 
     errors = {}
+    state = {}  # incrementally-filled metric results; dumpable at ANY point
+
+    def rnd(x, n=2):
+        return None if x is None else round(x, n)
+
+    baseline_pairs, baseline_ba, baseline_door = 20.0, 10.0, 600.0
+
+    def build_json():
+        pairs_per_sec, tflops, mfu_pct = state.get("two_view") or (None, None, None)
+        lg_pairs_per_sec, lg_tflops = state.get("lightglue") or (None, None)
+        ba_iters_per_sec, ba_meas = state.get("ba") or (None, "n/a")
+        ba_scale_iters_per_sec, ba_scale_meas = state.get("ba_scale") or (None, "n/a")
+        door_cold, door_warm, parity = state.get("door") or (None, None, {})
+        splat_ms = state.get("splat")
+        palace = state.get("palace_e2e")
+        return {
+            "metric": "two_view_pairs_per_sec",
+            "value": rnd(pairs_per_sec, 1),
+            "unit": "pairs/s (1024kp, 512-hyp E-RANSAC + GN polish)",
+            "vs_baseline": rnd(None if pairs_per_sec is None else pairs_per_sec / baseline_pairs),
+            "extra": {
+                "platform": state.get("platform"),
+                "two_view_tflops_per_sec": rnd(tflops, 3),
+                "two_view_mfu_pct_of_bf16_peak": rnd(mfu_pct, 3),
+                "lightglue_pairs_per_sec": rnd(lg_pairs_per_sec, 1),
+                "lightglue_tflops_per_sec": rnd(lg_tflops),
+                "ba_lm_iters_per_sec": rnd(ba_iters_per_sec),
+                "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
+                "ba_vs_baseline": rnd(None if ba_iters_per_sec is None else ba_iters_per_sec / baseline_ba),
+                "ba_scale_lm_iters_per_sec": rnd(ba_scale_iters_per_sec),
+                "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, entry/LM+PCG",
+                "splat_tiled_ms_per_frame_100k": rnd(splat_ms, 1),
+                "door_e2e_cold_sec": rnd(door_cold, 1),
+                "door_e2e_warm_sec": rnd(door_warm, 1),
+                "door_vs_baseline": rnd(None if door_warm is None else baseline_door / door_warm),
+                **parity,
+                **(palace or {}),
+                "errors": errors,
+                "baselines": "documented anchors, reference not runnable here (see module docstring)",
+            },
+        }
+
+    def dump(partial=False):
+        out = build_json()
+        if partial:
+            out["extra"]["partial"] = True
+        print(json.dumps(out))
+        sys.stdout.flush()
+
+    # If the DRIVER's own timeout kills us (SIGTERM from `timeout`, or ^C),
+    # emit whatever evidence we already have before dying — a partial JSON
+    # line beats an rc=124 with nothing parseable (round-3 postmortem).
+    def _dump_and_exit(signum, frame):
+        errors["killed"] = f"received signal {signum}; partial results emitted"
+        dump(partial=True)
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _dump_and_exit)
+    signal.signal(signal.SIGINT, _dump_and_exit)
+
+    # Global wall budget: never outlive the driver's patience. Per-metric
+    # timeouts are clamped to the remaining budget; metrics that no longer
+    # fit are skipped with an error note instead of risking a hard kill.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700))
+    t_start = time.perf_counter()
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
     # ---- backend health gate (round-3 postmortem: a wedged axon TPU hung
     # the first dispatch; probe in a subprocess, retry once, fall back to
     # CPU so the driver ALWAYS gets a JSON line) -------------------------
@@ -632,54 +703,32 @@ def main():
     enable_persistent_cache()
     import jax
 
-    platform = jax.devices()[0].platform
+    if "backend" in errors:
+        # The env var alone is NOT enough: the axon plugin's sitecustomize
+        # re-forces jax_platforms="axon,cpu" via jax.config at import time,
+        # so a wedged TPU would still be initialized (and hang) at the
+        # first jax.devices() below. Override it back at the config level.
+        jax.config.update("jax_platforms", "cpu")
+    state["platform"] = jax.devices()[0].platform
 
-    pairs = _run_metric("two_view", _two_view_bench, 1200, errors)
-    lg = _run_metric("lightglue", _deep_matcher_bench, 1200, errors)
-    ba = _run_metric("ba", _ba_bench, 1200, errors)
-    ba_scale = _run_metric("ba_scale", _ba_scale_bench, 1800, errors)
-    splat = _run_metric("splat", _splat_bench, 1200, errors)
-    door = _run_metric("door", _door_bench, 3000, errors)
-    palace = _run_metric("palace_e2e", _palace_bench, 3000, errors)
+    metrics = [
+        ("two_view", _two_view_bench, 1200),
+        ("lightglue", _deep_matcher_bench, 1200),
+        ("ba", _ba_bench, 1200),
+        ("ba_scale", _ba_scale_bench, 1800),
+        ("splat", _splat_bench, 1200),
+        ("door", _door_bench, 3000),
+        ("palace_e2e", _palace_bench, 3000),
+    ]
+    for name, fn, cap in metrics:
+        left = remaining() - 30.0  # reserve for JSON emission
+        if left < 60.0:
+            errors[name] = f"skipped: global budget exhausted ({budget_s:.0f}s)"
+            print(f"[bench] {name} SKIPPED (budget)", file=sys.stderr)
+            continue
+        state[name] = _run_metric(name, fn, min(cap, left), errors)
 
-    pairs_per_sec, tflops, mfu_pct = pairs if pairs else (None, None, None)
-    lg_pairs_per_sec, lg_tflops = lg if lg else (None, None)
-    ba_iters_per_sec, ba_meas = ba if ba else (None, "n/a")
-    ba_scale_iters_per_sec, ba_scale_meas = ba_scale if ba_scale else (None, "n/a")
-    door_cold, door_warm, parity = door if door else (None, None, {})
-    splat_ms = splat
-
-    def rnd(x, n=2):
-        return None if x is None else round(x, n)
-
-    baseline_pairs, baseline_ba, baseline_door = 20.0, 10.0, 600.0
-    out = {
-        "metric": "two_view_pairs_per_sec",
-        "value": rnd(pairs_per_sec, 1),
-        "unit": "pairs/s (1024kp, 512-hyp E-RANSAC + GN polish)",
-        "vs_baseline": rnd(None if pairs_per_sec is None else pairs_per_sec / baseline_pairs),
-        "extra": {
-            "platform": platform,
-            "two_view_tflops_per_sec": rnd(tflops, 3),
-            "two_view_mfu_pct_of_bf16_peak": rnd(mfu_pct, 3),
-            "lightglue_pairs_per_sec": rnd(lg_pairs_per_sec, 1),
-            "lightglue_tflops_per_sec": rnd(lg_tflops),
-            "ba_lm_iters_per_sec": rnd(ba_iters_per_sec),
-            "ba_problem": f"64 cams, 4096 tracks, {ba_meas} meas, dense-Schur exact/LM",
-            "ba_vs_baseline": rnd(None if ba_iters_per_sec is None else ba_iters_per_sec / baseline_ba),
-            "ba_scale_lm_iters_per_sec": rnd(ba_scale_iters_per_sec),
-            "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, entry/LM+PCG",
-            "splat_tiled_ms_per_frame_100k": rnd(splat_ms, 1),
-            "door_e2e_cold_sec": rnd(door_cold, 1),
-            "door_e2e_warm_sec": rnd(door_warm, 1),
-            "door_vs_baseline": rnd(None if door_warm is None else baseline_door / door_warm),
-            **parity,
-            **(palace or {}),
-            "errors": errors,
-            "baselines": "documented anchors, reference not runnable here (see module docstring)",
-        },
-    }
-    print(json.dumps(out))
+    dump()
 
 
 if __name__ == "__main__":

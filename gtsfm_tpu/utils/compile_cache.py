@@ -26,11 +26,20 @@ def _host_signature() -> str:
 
     sig = platform.machine()
     try:
+        flags = model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    sig += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                # flags alone are NOT enough: LLVM derives tuning features
+                # (prefer-no-scatter/-gather) from the detected CPU MODEL,
+                # so two hosts with identical flags can still produce
+                # mutually-mistuned AOT executables. Include the model name.
+                if not flags and line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
                     break
+        sig += " " + model + " " + flags
     except OSError:
         pass
     return "host-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
