@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtsfm_tpu.geometry import so3
-from gtsfm_tpu.utils.numerics import einsum as p_einsum, mm
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, mm, precise
 
 
 class RotationAveragingOptions(NamedTuple):
@@ -149,6 +149,7 @@ def _qf_retract(G: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@precise
 def _stiefel_descend(Q: jnp.ndarray, G0: jnp.ndarray, iters: int = 150):
     """Riemannian gradient descent of f(G) = tr(G Q G^T) over St(3,p)^n.
 
@@ -289,12 +290,14 @@ def _edge_residual(wRi1, wRi2, R_e):
 
 
 @jax.jit
+@precise
 def _edge_residual_gathered(wRi, edges, R_e):
     """_edge_residual over edge-gathered rotations as ONE compiled unit."""
     return _edge_residual(wRi[edges[:, 0]], wRi[edges[:, 1]], R_e)
 
 
 @partial(jax.jit, static_argnames=("num_images", "opts"))
+@precise
 def _refine(
     num_images: int,
     wRi0: jnp.ndarray,

@@ -34,7 +34,7 @@ from flax import struct
 
 from gtsfm_tpu.common.sfm_data import SfmData
 from gtsfm_tpu.geometry import SE3, PinholeCamera
-from gtsfm_tpu.utils.numerics import einsum as p_einsum
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, precise
 
 
 def _tiny_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -1111,6 +1111,7 @@ def _cost(prob: BAProblem, opts: BAOptions, extras=None) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("opts",))
+@precise
 def _optimize_jit(prob: BAProblem, opts: BAOptions):
     n_cam = prob.fixed_cam.shape[0]
     n_track = prob.points.shape[0]

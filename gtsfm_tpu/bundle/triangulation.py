@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from gtsfm_tpu.geometry import SE3
-from gtsfm_tpu.utils.numerics import einsum as p_einsum, nullvec_pinned
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, nullvec_pinned, precise
 
 
 class TriangulationMode(enum.Enum):
@@ -93,6 +93,7 @@ def _reproj_and_depth(wTi: SE3, X: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "mode"))
+@precise
 def triangulate_track_ransac(
     wTi: SE3,
     xy: jnp.ndarray,

@@ -32,7 +32,7 @@ from gtsfm_tpu.frontend.verifiers.essential import (
     recover_pose_from_essential,
 )
 from gtsfm_tpu.geometry import so3
-from gtsfm_tpu.utils.numerics import mm
+from gtsfm_tpu.utils.numerics import mm, precise
 
 
 class TwoViewOptions(NamedTuple):
@@ -85,6 +85,7 @@ class TwoViewResult:
 
 
 @partial(jax.jit, static_argnames=("opts",))
+@precise
 def run_two_view_batch(
     kp_xy1: jnp.ndarray,  # [P, K, 2] pixel coords image i1 of each pair
     kp_xy2: jnp.ndarray,  # [P, K, 2]
@@ -164,6 +165,16 @@ def run_two_view_batch(
         inl = out["inliers"]
 
         if opts.run_two_view_ba:
+            # keep-best guard: the 2-view GN can diverge from an already-
+            # perfect consensus (zero-residual start => singular normal
+            # matrix); never let refinement reduce MSAC quality
+            def _quality(R_, t_):
+                err_ = _sampson_error(mm(so3.hat(t_), R_), x1, x2)
+                return jnp.sum(
+                    jnp.where(cmask, jnp.maximum(thresh**2 - err_, 0.0), 0.0)
+                )
+
+            q_pre, R_pre, t_pre, inl_pre = _quality(R, t), R, t, inl
             R, t = _refine_essential(
                 x1, x2, inl.astype(x1.dtype), R, t, opts.ba_iterations, opts.ba_huber, thresh
             )
@@ -172,6 +183,10 @@ def run_two_view_batch(
             inl = cmask & (err < thresh**2)
             # re-pick pose sign by cheirality after refinement
             R, t = recover_pose_from_essential(E, x1, x2, inl.astype(x1.dtype))
+            worse = _quality(R, t) < q_pre
+            R = jnp.where(worse, R_pre, R)
+            t = jnp.where(worse, t_pre, t)
+            inl = jnp.where(worse, inl_pre, inl)
 
         n_match = jnp.sum(cmask)
         n_inl = jnp.sum(inl)

@@ -43,9 +43,14 @@ class RansacOptions(NamedTuple):
     min_inliers: int = 8
     polish_iterations: int = 8  # final GN polish on the essential manifold
     polish_huber: float = 2.0
-    # "inliers" = vote by inlier count (USAC-style); "lmeds" = least-median-
-    # of-squares hypothesis scoring (parity: the reference's LMEDS verifier)
-    scoring: str = "inliers"
+    # "msac" = truncated-residual gain, sum(max(thresh2 - err, 0)) — the
+    # USAC/MAGSAC-family default. Plain inlier COUNT saturates on
+    # low-parallax pairs (measured on Door: every correspondence is an
+    # inlier of both the true model and a rotation-translation-confused one
+    # 120deg off; count ties, MSAC separates them by residual mass).
+    # "inliers" = count voting; "lmeds" = least-median-of-squares (parity:
+    # the reference's LMEDS verifier).
+    scoring: str = "msac"
     # preemptive scoring: rank hypotheses on a fixed subset of
     # correspondences (0 = use all); LO/final verification always use all
     score_subset: int = 256
@@ -90,7 +95,15 @@ def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarra
 
 
 def _sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """First-order geometric (Sampson) error in normalized units, (K,)."""
+    """First-order geometric (Sampson) error in normalized units, (K,).
+
+    Scale-normalizes E first (Sampson is scale-invariant) and returns a
+    huge error for degenerate geometry: with E ~ 0 both numerator and
+    denominator vanish and the raw ratio reads 0 — a zero hypothesis from
+    a failed minimal solve would otherwise score as a PERFECT model under
+    every scoring rule (measured: a zero E acing MSAC with all points at
+    "error 0" and poisoning pose recovery downstream)."""
+    E = E / jnp.maximum(jnp.linalg.norm(E), 1e-20)
     ones = jnp.ones_like(x1[:, :1])
     p1 = jnp.concatenate([x1, ones], axis=-1)
     p2 = jnp.concatenate([x2, ones], axis=-1)
@@ -98,7 +111,9 @@ def _sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndar
     Etx2 = p_einsum("ji,kj->ki", E, p2)
     num = jnp.sum(p2 * Ex1, axis=-1) ** 2
     den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
-    return num / jnp.maximum(den, 1e-12)
+    # den ~ 0 with unit-norm E means the point sits on both epipoles /
+    # the model is degenerate for it — that is "no constraint", not "fits"
+    return jnp.where(den > 1e-9, num / jnp.maximum(den, 1e-12), 1e9)
 
 
 def essential_information_spectrum(x1, x2, w, R, t):
@@ -357,12 +372,23 @@ def ransac_essential(
             # least median of squares: negate so argmax selects the minimum
             med = jnp.median(jnp.where(ms, err, jnp.inf))
             return -med
+        if opts.scoring == "msac":
+            return jnp.sum(jnp.where(ms, jnp.maximum(thresh2 - err, 0.0), 0.0))
         inl = ms & (err < thresh2)
         return jnp.sum(inl).astype(x1.dtype)
 
     votes = jax.vmap(score)(E_hyps)
     best = jnp.argmax(votes)
     E_best = E_hyps[best]
+
+    # full-set model quality used by LO and the dual-start pick: truncated
+    # residual gain (MSAC) under "msac"/"lmeds", inlier count otherwise
+    if opts.scoring == "inliers":
+        def quality(err):
+            return jnp.sum(mask & (err < thresh2)).astype(x1.dtype)
+    else:
+        def quality(err):
+            return jnp.sum(jnp.where(mask, jnp.maximum(thresh2 - err, 0.0), 0.0))
 
     # local optimization: annealed-threshold refits (LO-RANSAC style —
     # gather with a wide band first, tighten each round)
@@ -373,11 +399,9 @@ def ransac_essential(
         # the band edge can no longer poison the refit
         w_soft = inl.astype(x1.dtype) / (1.0 + err / jnp.maximum(thresh2, 1e-20))
         E_new = _eight_point(x1, x2, w_soft)
-        # keep refit only if it does not lose final-threshold inliers
-        n_old = jnp.sum(mask & (err < thresh2))
+        # keep refit only if it does not reduce model quality
         err_new = _sampson_error(E_new, x1, x2)
-        n_new = jnp.sum(mask & (err_new < thresh2))
-        better = n_new >= n_old
+        better = quality(err_new) >= quality(err)
         return jnp.where(better, E_new, E), None
 
     mults = jnp.linspace(2.0, 1.0, opts.lo_rounds) if opts.lo_rounds > 1 else jnp.ones(opts.lo_rounds)
@@ -386,10 +410,9 @@ def ransac_essential(
     E_a, _ = jax.lax.scan(lo_round, E_best, mults)
     E_b, _ = jax.lax.scan(lo_round, _project_essential(E_best), mults)
 
-    def count(E):
-        return jnp.sum(mask & (_sampson_error(E, x1, x2) < thresh2))
-
-    E_final = jnp.where(count(E_a) >= count(E_b), E_a, E_b)
+    q_a = quality(_sampson_error(E_a, x1, x2))
+    q_b = quality(_sampson_error(E_b, x1, x2))
+    E_final = jnp.where(q_a >= q_b, E_a, E_b)
     err = _sampson_error(E_final, x1, x2)
     inliers = mask & (err < thresh2)
 
@@ -397,6 +420,12 @@ def ransac_essential(
     R0, t0 = recover_pose_from_essential(E_final, x1, x2, inliers.astype(x1.dtype))
     if opts.polish_iterations > 0:
         thresh = jnp.sqrt(thresh2)
+        # keep-best guard (USAC invariant: the model only ever improves).
+        # The GN polish can diverge from an already-perfect consensus
+        # (zero-residual start => near-singular normal matrix); without
+        # this guard a 120-inlier model was measured collapsing to 12.
+        E_pre, R_pre, t_pre, inl_pre = E_final, R0, t0, inliers
+        q_pre = quality(_sampson_error(E_pre, x1, x2))
         # two polish rounds with an inlier-set refresh in between: the
         # first GN pass can shake loose a few band-edge outliers, and the
         # second pass then fits the cleaned consensus
@@ -409,6 +438,11 @@ def ransac_essential(
             err = _sampson_error(E_final, x1, x2)
             inliers = mask & (err < thresh2)
         R0, t0 = recover_pose_from_essential(E_final, x1, x2, inliers.astype(x1.dtype))
+        worse = quality(_sampson_error(E_final, x1, x2)) < q_pre
+        E_final = jnp.where(worse, E_pre, E_final)
+        R0 = jnp.where(worse, R_pre, R0)
+        t0 = jnp.where(worse, t_pre, t0)
+        inliers = jnp.where(worse, inl_pre, inliers)
     num_inliers = jnp.sum(inliers)
     R, t = R0, t0
     success = (num_inliers >= opts.min_inliers) & (n_valid >= 8)
@@ -416,6 +450,9 @@ def ransac_essential(
         "i2Ri1": R,
         "i2Ui1": t,
         "E": E_final,
+        "E_vote": E_best,
+        "E_a": E_a,
+        "E_b": E_b,
         "inliers": inliers,
         "num_inliers": num_inliers,
         "success": success,

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gtsfm_tpu.utils.numerics import precise
+
 from gtsfm_tpu.bundle.ba import BAOptions, BundleAdjustment
 from gtsfm_tpu.common.sfm_data import SceneMeta, SfmData
 from gtsfm_tpu.geometry import SE3
@@ -41,6 +43,7 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("irls_iterations",))
+@precise
 def _lmeds_irls_sim3(
     pb: jnp.ndarray,  # (P, 3) padded source points
     pa: jnp.ndarray,  # (P, 3) padded target points

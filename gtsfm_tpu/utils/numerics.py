@@ -15,6 +15,33 @@ import jax.numpy as jnp
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def precise(fn):
+    """Trace `fn` under jax.default_matmul_precision("highest").
+
+    Blanket full-f32 coverage for a whole solver: every dot/conv the
+    function (and everything it calls) traces runs at HIGHEST precision
+    unless an op requests otherwise explicitly. Point-pinning individual
+    einsums (round 4) proved unauditable — one un-pinned `@` or
+    jnp.linalg solve inside BA left the TPU stream converging to 0.59
+    pose-AUC vs the CPU stream's 0.82+ (driver artifact BENCH_r04). Apply
+    this at stage boundaries (two-view verify, averaging, triangulation,
+    BA, merge); throughput-critical learned-frontend matmuls opt back
+    into bf16 with an explicit precision= at their call sites.
+
+    Apply UNDER jax.jit (jit outermost): the context is entered at trace
+    time, when each dot's precision is resolved, and the jit object keeps
+    its AOT surface (.lower/.trace — utils/prewarm.py relies on it).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full-precision matmul for small geometry matrices."""
     return jnp.matmul(a, b, precision=HIGHEST)
