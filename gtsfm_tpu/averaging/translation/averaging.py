@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gtsfm_tpu.utils.numerics import einsum as p_einsum
+from gtsfm_tpu.utils.numerics import einsum as p_einsum, precise
 
 # full reference budget (averaging_1dsfm.py:51); the multi-direction MFAS
 # sweep runs in threaded C++ (native/mfas.cpp::mfas_outlier_weights), so
@@ -45,6 +45,12 @@ class TranslationAveragingOptions(NamedTuple):
     num_projection_dirs: int = MAX_PROJECTION_DIRECTIONS
     outlier_weight_threshold: float = OUTLIER_WEIGHT_THRESHOLD
     reject_outliers: bool = True
+    # run MFAS over the combined camera+track direction graph (reference
+    # parity: averaging_1dsfm.py:254-257 passes both dicts to MFAS)
+    mfas_include_tracks: bool = True
+    # uniform-density projection sampling at the full budget (reference
+    # default: ProjectionSamplingMethod.SAMPLE_WITH_UNIFORM_DENSITY)
+    mfas_uniform_sampling: bool = True
 
 
 def mfas_outlier_weights(
@@ -224,6 +230,7 @@ def _greedy_mfas_order(src, dst, wgt, n) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "opts"))
+@precise
 def _solve_positions(
     num_nodes: int,
     edges: jnp.ndarray,  # i32[E, 2] (i, j): t_i - t_j + c_e ~ s_e u_e
@@ -239,26 +246,39 @@ def _solve_positions(
     if c is None:
         c = jnp.zeros_like(u)
 
-    # --- phase 1: LUD alternation --------------------------------------
-    # Laplacian for min sum w ||t_i - t_j - s u||^2 given s: L t = b(s)
-    L = jnp.zeros((n, n))
-    L = L.at[i, i].add(w)
-    L = L.at[j, j].add(w)
-    L = L.at[i, j].add(-w)
-    L = L.at[j, i].add(-w)
-    L = L + 1e-6 * jnp.eye(n)
-    # anchor node 0: add strong diagonal
-    L = L.at[0, 0].add(1e4)
-    cho = jax.scipy.linalg.cho_factor(L)
+    # --- phase 1: robust LUD alternation --------------------------------
+    # min sum w_e rho(||t_i - t_j - s u||) given s: IRLS — each iteration
+    # reweights edges by the Huber weight of its current DIRECTION residual
+    # and solves the reweighted Laplacian. A non-robust init here lets a
+    # handful of grossly-wrong two-view directions (low-parallax pairs can
+    # be >90deg off; 4/66 measured on Door) drag the whole layout into a
+    # basin the GN polish cannot leave — the reference never sees this
+    # because GTSAM's TranslationRecovery is Huber-robust end to end
+    # (averaging_1dsfm.py:56, HUBER_LOSS_K=1.3 on sigma=0.01 chordal).
+    k_huber = opts.robust_huber
 
     def lud_step(t, _):
         d = t[i] - t[j] + c
+        nrm = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-9)
+        rn = jnp.linalg.norm(d / nrm[:, None] - u, axis=-1)
+        w_rob = (
+            jnp.minimum(1.0, k_huber / jnp.maximum(rn, 1e-12))
+            if k_huber > 0 else jnp.ones_like(rn)
+        )
+        we = w * w_rob
+        L = jnp.zeros((n, n))
+        L = L.at[i, i].add(we)
+        L = L.at[j, j].add(we)
+        L = L.at[i, j].add(-we)
+        L = L.at[j, i].add(-we)
+        L = L + 1e-6 * jnp.eye(n)
+        L = L.at[0, 0].add(1e4)  # anchor node 0
         s = jnp.maximum(1.0, jnp.sum(d * u, axis=-1))
         rhs_e = s[:, None] * u - c  # target for t_i - t_j
         rhs = jnp.zeros((n, 3))
-        rhs = rhs.at[i].add(w[:, None] * rhs_e)
-        rhs = rhs.at[j].add(-w[:, None] * rhs_e)
-        t_new = jax.scipy.linalg.cho_solve(cho, rhs)
+        rhs = rhs.at[i].add(we[:, None] * rhs_e)
+        rhs = rhs.at[j].add(-we[:, None] * rhs_e)
+        t_new = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(L), rhs)
         return t_new, None
 
     if t_init is None:
@@ -389,17 +409,49 @@ class TranslationAveraging:
         inlier_mask = edge_mask.copy()
         if self.options.reject_outliers and E >= 3:
             rng = np.random.default_rng(seed)  # pinned seed (repro parity)
-            # sample projection directions from the measurements themselves
-            # plus random ones (averaging_1dsfm.py:82-92 sampling modes)
-            k = min(self.options.num_projection_dirs, max(E, 8))
-            pick = rng.choice(E, size=min(k // 2, E), replace=False)
-            rand = rng.normal(size=(k - len(pick), 3))
-            rand /= np.linalg.norm(rand, axis=-1, keepdims=True)
-            proj_dirs = np.concatenate([w_dirs[pick], rand], axis=0)
-            ow = mfas_outlier_weights(
-                edges[edge_mask], w_dirs[edge_mask], num_images, proj_dirs
-            )
-            keep = ow <= self.options.outlier_weight_threshold
+            mfas_edges = edges[edge_mask]
+            mfas_dirs = w_dirs[edge_mask]
+            mfas_nodes = num_images
+            if self.options.mfas_include_tracks and track_dirs is not None:
+                # reference parity (averaging_1dsfm.py:254-257): MFAS runs
+                # over the COMBINED camera-camera + camera-track direction
+                # graph. The track edges are a dense, mostly-consistent
+                # scaffold that pins the 1D orderings; without them a
+                # sparse camera graph leaves the ordering free to satisfy
+                # grossly-wrong camera edges (measured on Door: three
+                # ~120deg-wrong edges survive camera-only MFAS, one
+                # survives the combined graph).
+                tcam = np.asarray(track_dirs[0])
+                tnode = np.asarray(track_dirs[1])
+                tdir = np.asarray(track_dirs[2], np.float32)
+                twt = (np.asarray(track_dirs[3], np.float32)
+                       if len(track_dirs) == 4 else np.ones(len(tcam), np.float32))
+                real = twt > 0  # drop static-shape padding entries
+                if real.any():
+                    # t_track - t_cam ~ s * dir  =>  edge (track, cam)
+                    te = np.stack(
+                        [tnode[real].astype(np.int64) + num_images,
+                         tcam[real].astype(np.int64)], axis=-1,
+                    )
+                    mfas_edges = np.concatenate([mfas_edges.astype(np.int64), te])
+                    mfas_dirs = np.concatenate([mfas_dirs, tdir[real]])
+                    mfas_nodes = num_images + int(tnode[real].max()) + 1
+            if self.options.mfas_uniform_sampling:
+                # reference default: SAMPLE_WITH_UNIFORM_DENSITY at the
+                # full budget (averaging_1dsfm.py:150-151) — the count does
+                # NOT shrink with the edge count
+                k = self.options.num_projection_dirs
+                proj_dirs = rng.normal(size=(k, 3))
+                proj_dirs /= np.linalg.norm(proj_dirs, axis=-1, keepdims=True)
+            else:
+                # legacy: half input measurements, half random
+                k = min(self.options.num_projection_dirs, max(E, 8))
+                pick = rng.choice(E, size=min(k // 2, E), replace=False)
+                rand = rng.normal(size=(k - len(pick), 3))
+                rand /= np.linalg.norm(rand, axis=-1, keepdims=True)
+                proj_dirs = np.concatenate([w_dirs[pick], rand], axis=0)
+            ow = mfas_outlier_weights(mfas_edges, mfas_dirs, mfas_nodes, proj_dirs)
+            keep = ow[: int(edge_mask.sum())] <= self.options.outlier_weight_threshold
             inlier_mask[np.nonzero(edge_mask)[0][~keep]] = False
 
         valid = np.zeros(num_images, bool)
