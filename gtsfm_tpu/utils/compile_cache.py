@@ -45,6 +45,34 @@ def _host_signature() -> str:
     return "host-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
 
 
+def _platform_namespace() -> str:
+    """Cache namespace for the process' default backend.
+
+    TPU executables are host-independent, and the driver boxes rotate
+    between rounds with different CPU models — host-namespacing them
+    (round 4) made every driver bench compile cold (282 s Door e2e).
+    Namespace TPU entries by device kind so all hosts share them. CPU AOT
+    executables ARE keyed to the compile host's CPU model (loading a
+    mismatched one is harmless — jax warns and recompiles, see
+    jax._src.compiler._cache_read — but noisy), so keep those per-host.
+    """
+    import jax
+
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        platform = "cpu"
+    if platform == "cpu":
+        return "cpu-" + _host_signature()
+    kind = ""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover
+        pass
+    safe_kind = "".join(c if c.isalnum() else "-" for c in kind).strip("-")
+    return f"{platform}-{safe_kind}" if safe_kind else platform
+
+
 def enable_persistent_cache(path: str | None = None) -> bool:
     """Idempotently turn on JAX's persistent compilation cache.
 
@@ -58,13 +86,7 @@ def enable_persistent_cache(path: str | None = None) -> bool:
     import jax
 
     cache_dir = path or os.environ.get("GTSFM_TPU_COMPILE_CACHE", _DEFAULT_DIR)
-    # Partition by host CPU signature: XLA:CPU AOT executables are keyed by
-    # the COMPILE machine's feature set, and loading one on a host missing
-    # those features (driver boxes differ) risks SIGILL — observed as
-    # cpu_aot_loader "machine type doesn't match" errors when one shared dir
-    # served two hosts. TPU executables are host-independent but cheap to
-    # recompile once per box, so one per-host namespace covers both safely.
-    cache_dir = os.path.join(cache_dir, _host_signature())
+    cache_dir = os.path.join(cache_dir, _platform_namespace())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
