@@ -167,6 +167,12 @@ class SceneOptimizer:
     # ------------------------------------------------------------------
     def run(self, loader: LoaderBase) -> tuple:
         """-> (SfmData, MetricsGroup list)."""
+        from gtsfm_tpu.utils.tracing import device_trace
+
+        with device_trace("scene_optimizer_run"):
+            return self._run_impl(loader)
+
+    def _run_impl(self, loader: LoaderBase) -> tuple:
         opts = self.options
         t_start = time.perf_counter()
         n = len(loader)
