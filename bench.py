@@ -314,9 +314,6 @@ def _door_bench():
     parity = {}
     gt_dir = os.path.join(door, "colmap_ground_truth")
     if os.path.isdir(gt_dir):
-        import jax
-        import jax.numpy as jnp
-
         ref = colmap_io.read_scene(gt_dir)
         g = compare_reconstructions(data, ref)
         scal = {m.name: m.scalar for m in g.metrics if m.dist is None}
@@ -324,16 +321,19 @@ def _door_bench():
         # north star: both reconstructions vs the dataset GT poses
         gt_poses = loader.get_gt_poses()
 
-        def fit(a, b):
-            n = b.shape[0]
-            return jnp.concatenate([a[:n], b[a.shape[0]:]]) if a.shape[0] != n else a
-
-        ours = compare_reconstructions(
-            data, data.replace(poses=jax.tree.map(fit, gt_poses, data.poses))
+        # parity MUST be computed against aligned camera sets: a silently
+        # spliced GT (round-4 fit()) would shift every pose if a camera
+        # were ever dropped. Door is a 12-camera scene with full masks in
+        # both reconstructions — assert that instead of papering over it.
+        n_gt = gt_poses.t.shape[0]
+        assert data.poses.t.shape[0] == n_gt, (
+            f"ours has {data.poses.t.shape[0]} cameras, GT has {n_gt}"
         )
-        refg = compare_reconstructions(
-            ref, ref.replace(poses=jax.tree.map(fit, gt_poses, ref.poses))
+        assert ref.poses.t.shape[0] == n_gt, (
+            f"reference recon has {ref.poses.t.shape[0]} cameras, GT has {n_gt}"
         )
+        ours = compare_reconstructions(data, data.replace(poses=gt_poses))
+        refg = compare_reconstructions(ref, ref.replace(poses=gt_poses))
         our5 = {m.name: m.scalar for m in ours.metrics if m.dist is None}[
             "pose_auc_@5.0_deg"
         ]
@@ -595,7 +595,10 @@ def _run_metric(name, fn, timeout_s, errors):
     signal.alarm(int(timeout_s))
     t0 = time.perf_counter()
     try:
-        out = fn()
+        from gtsfm_tpu.utils.tracing import device_trace
+
+        with device_trace(name):
+            out = fn()
         print(f"[bench] {name} done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         return out
     except BaseException as e:  # noqa: BLE001 — evidence must survive anything
@@ -622,6 +625,14 @@ def main():
         return None if x is None else round(x, n)
 
     baseline_pairs, baseline_ba, baseline_door = 20.0, 10.0, 600.0
+    # ba_scale anchor: GTSAM LM at the skydio-501 merge-BA size (512 cams /
+    # 600k meas). Per-iteration cost = relinearize 600k GeneralSFMFactor2
+    # (~25x the ~100 ms measured at 24k meas) + sparse Schur factorization
+    # of the 4608-dim camera system (~4608^3/3 = 3e10 flops at a few
+    # GFLOP/s sparse-CPU) => ~2.5 s/iter, i.e. ~0.4 LM it/s. Documented
+    # anchor, not a measurement (gtsam not runnable in this image); same
+    # status as the other anchors above (bundle_adjustment.py:347-410).
+    baseline_ba_scale = 0.4
 
     def build_json():
         pairs_per_sec, tflops, mfu_pct = state.get("two_view") or (None, None, None)
@@ -647,6 +658,10 @@ def main():
                 "ba_vs_baseline": rnd(None if ba_iters_per_sec is None else ba_iters_per_sec / baseline_ba),
                 "ba_scale_lm_iters_per_sec": rnd(ba_scale_iters_per_sec),
                 "ba_scale_problem": f"512 cams, 100k tracks, {ba_scale_meas} meas, entry/LM+PCG",
+                "ba_scale_vs_baseline": rnd(
+                    None if ba_scale_iters_per_sec is None
+                    else ba_scale_iters_per_sec / baseline_ba_scale
+                ),
                 "splat_tiled_ms_per_frame_100k": rnd(splat_ms, 1),
                 "door_e2e_cold_sec": rnd(door_cold, 1),
                 "door_e2e_warm_sec": rnd(door_warm, 1),
@@ -658,28 +673,58 @@ def main():
             },
         }
 
+    dumped = {"done": False}
+
     def dump(partial=False):
         out = build_json()
         if partial:
             out["extra"]["partial"] = True
+        dumped["done"] = True
         print(json.dumps(out))
         sys.stdout.flush()
+
+    def save_sidecar():
+        """Persist current evidence to a file that survives even SIGKILL
+        (a Python signal handler can't fire while the main thread is
+        blocked inside a native XLA dispatch — ADVICE r4). Written after
+        every completed metric."""
+        try:
+            side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_PARTIAL.json")
+            out = build_json()
+            out["extra"]["partial"] = True
+            with open(side + ".tmp", "w") as f:
+                f.write(json.dumps(out) + "\n")
+            os.replace(side + ".tmp", side)
+        except OSError:
+            pass
 
     # If the DRIVER's own timeout kills us (SIGTERM from `timeout`, or ^C),
     # emit whatever evidence we already have before dying — a partial JSON
     # line beats an rc=124 with nothing parseable (round-3 postmortem).
+    # Guard against a second signal arriving during/after the final dump:
+    # a second JSON line would violate the single-line driver contract.
     def _dump_and_exit(signum, frame):
-        errors["killed"] = f"received signal {signum}; partial results emitted"
-        dump(partial=True)
-        os._exit(124)
+        if not dumped["done"]:
+            errors["killed"] = f"received signal {signum}; partial results emitted"
+            dump(partial=True)
+        os._exit(128 + signum)  # 143=SIGTERM (driver kill), 130=SIGINT (manual)
 
     signal.signal(signal.SIGTERM, _dump_and_exit)
     signal.signal(signal.SIGINT, _dump_and_exit)
 
-    # Global wall budget: never outlive the driver's patience. Per-metric
-    # timeouts are clamped to the remaining budget; metrics that no longer
-    # fit are skipped with an error note instead of risking a hard kill.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700))
+    # Global wall budget: never outlive the driver's patience (observed
+    # driver kill ~1800 s in round 4 — default safely inside that). Per-
+    # metric timeouts are clamped to the remaining budget; metrics that no
+    # longer fit are skipped with an error note instead of risking a kill.
+    try:
+        budget_s = float(os.environ.get("BENCH_BUDGET_S", 1650))
+    except ValueError:
+        errors["budget"] = (
+            f"malformed BENCH_BUDGET_S={os.environ.get('BENCH_BUDGET_S')!r}; "
+            "using 1650"
+        )
+        budget_s = 1650.0
     t_start = time.perf_counter()
 
     def remaining():
@@ -711,14 +756,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     state["platform"] = jax.devices()[0].platform
 
+    # Order = least-replaceable evidence first (VERDICT r4 #2): the Door
+    # parity number and the reference-scale Palace e2e must land even if a
+    # later metric eats the budget; the synthetic micro-benches come after.
     metrics = [
-        ("two_view", _two_view_bench, 1200),
-        ("lightglue", _deep_matcher_bench, 1200),
-        ("ba", _ba_bench, 1200),
-        ("ba_scale", _ba_scale_bench, 1800),
-        ("splat", _splat_bench, 1200),
-        ("door", _door_bench, 3000),
-        ("palace_e2e", _palace_bench, 3000),
+        ("two_view", _two_view_bench, 600),
+        ("door", _door_bench, 900),
+        ("palace_e2e", _palace_bench, 900),
+        ("ba", _ba_bench, 400),
+        ("lightglue", _deep_matcher_bench, 400),
+        ("splat", _splat_bench, 400),
+        ("ba_scale", _ba_scale_bench, 500),
     ]
     for name, fn, cap in metrics:
         left = remaining() - 30.0  # reserve for JSON emission
@@ -727,6 +775,7 @@ def main():
             print(f"[bench] {name} SKIPPED (budget)", file=sys.stderr)
             continue
         state[name] = _run_metric(name, fn, min(cap, left), errors)
+        save_sidecar()
 
     dump()
 
