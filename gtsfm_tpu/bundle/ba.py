@@ -1339,21 +1339,33 @@ class BundleAdjustment:
             )
         return out, metrics
 
-    def run_compact(self, data: SfmData, fixed_cam=None, **prior_kwargs) -> tuple:
-        """run() on a camera-compacted, pow2-bucketed copy of the scene.
+    def run_compact(self, data: SfmData, fixed_cam=None, pad_hwm=None,
+                    **prior_kwargs) -> tuple:
+        """run() on a compacted, pow2-bucketed copy of the scene.
 
-        Cameras are remapped to a dense local index space sized to the
-        next power of two >= the number of ACTIVE cameras, and the track /
-        measurement axes are padded to pow2 buckets. Solve cost then
-        scales with the active subproblem (a merged scene pair, a cluster)
-        rather than the full scene camera count, and XLA executables are
-        shared across the many similarly-sized solves of a hierarchical
-        merge instead of recompiling per node. Results are scattered back
-        into the original global layout (padding trimmed).
+        Cameras, TRACKS, and MEASUREMENTS are each remapped to dense local
+        index spaces sized to the next power of two >= the ACTIVE count.
+        Solve cost then scales with the live subproblem rather than the
+        accumulated padding (a hierarchical merge concatenates its
+        children's padded track axes, so by the root most slots are dead),
+        and XLA executables are shared across the many similarly-sized
+        solves of a merge tree instead of recompiling per node. Results
+        are scattered back into the original global layout.
+
+        pad_hwm: optional shared high-water-mark dict — bucket sizes only
+        ever grow within the dict's scope, so one merge tree's solves
+        share traces even when live counts straddle pow2 boundaries.
         """
         import numpy as np
 
         from gtsfm_tpu.utils.numerics import ceil_pow2
+
+        def _bucket(key: str, raw: int, mult: int) -> int:
+            v = ceil_pow2(raw, mult)
+            if pad_hwm is not None:
+                v = max(v, pad_hwm.get(key, 0))
+                pad_hwm[key] = v
+            return v
 
         N = data.max_cameras
         pm = np.asarray(data.pose_mask)
@@ -1362,52 +1374,54 @@ class BundleAdjustment:
         with_meas[np.asarray(data.meas_cam)[mm]] = True
         active = pm | with_meas
         act_idx = np.flatnonzero(active)
-        if len(act_idx) == 0:
+        if len(act_idx) == 0 or not mm.any():
             return data, {"initial_cost": 0.0, "final_cost": 0.0, "iterations": 0}
-        n_loc = ceil_pow2(len(act_idx), 8)
+        n_loc = _bucket("ba_cams", len(act_idx), 8)
         pad_idx = np.concatenate(
             [act_idx, np.full(n_loc - len(act_idx), act_idx[0], np.int64)]
         )
         g2l = np.full(N, -1, np.int64)  # inactive cameras map nowhere
         g2l[act_idx] = np.arange(len(act_idx))
 
+        # live tracks: masked-in ones plus any referenced by a live
+        # measurement (kept so the meas remap below never dangles)
         T = data.max_tracks
-        T_pad = ceil_pow2(T, 16)
-        M = data.meas_cam.shape[0]
-        M_pad = ceil_pow2(M, 16)
+        tm = np.asarray(data.track_mask)
+        mt = np.asarray(data.meas_track)
+        live_t = tm.copy()
+        live_t[mt[mm]] = True
+        t_idx = np.flatnonzero(live_t)
+        T_loc = _bucket("ba_tracks", len(t_idx), 16)
+        t_pad_idx = np.concatenate(
+            [t_idx, np.full(T_loc - len(t_idx), t_idx[0], np.int64)]
+        )
+        t_g2l = np.zeros(T, np.int64)
+        t_g2l[t_idx] = np.arange(len(t_idx))
+
+        m_idx = np.flatnonzero(mm)
+        M_loc = _bucket("ba_meas", len(m_idx), 16)
+        m_pad_idx = np.concatenate(
+            [m_idx, np.full(M_loc - len(m_idx), m_idx[0], np.int64)]
+        )
         jp = jnp.asarray(pad_idx)
-
-        def padT(a, fill=0):
-            if T_pad == T:
-                return jnp.asarray(a)
-            pad_shape = (T_pad - T,) + a.shape[1:]
-            return jnp.concatenate(
-                [jnp.asarray(a), jnp.full(pad_shape, fill, a.dtype)]
-            )
-
-        def padM(a, fill=0):
-            if M_pad == M:
-                return jnp.asarray(a)
-            pad_shape = (M_pad - M,) + a.shape[1:]
-            return jnp.concatenate(
-                [jnp.asarray(a), jnp.full(pad_shape, fill, a.dtype)]
-            )
+        jt = jnp.asarray(t_pad_idx)
+        jm = jnp.asarray(m_pad_idx)
 
         local = data.replace(
             poses=jax.tree.map(lambda a: a[jp], data.poses),
             pose_mask=jnp.asarray(data.pose_mask)[jp]
             & (jnp.arange(n_loc) < len(act_idx)),
             cal=jax.tree.map(lambda a: jnp.asarray(a)[jp], data.cal),
-            points=padT(data.points),
-            track_mask=padT(data.track_mask, False),
-            # masked measurements may reference inactive cameras (g2l -1):
-            # clamp them to slot 0 — their weight is zero either way
-            meas_cam=padM(
-                jnp.asarray(np.maximum(g2l, 0), jnp.int32)[data.meas_cam]
-            ),
-            meas_track=padM(data.meas_track),
-            meas_uv=padM(data.meas_uv),
-            meas_mask=padM(data.meas_mask, False),
+            points=jnp.asarray(data.points)[jt],
+            track_mask=jnp.asarray(data.track_mask)[jt]
+            & (jnp.arange(T_loc) < len(t_idx)),
+            meas_cam=jnp.asarray(np.maximum(g2l, 0), jnp.int32)[
+                jnp.asarray(data.meas_cam)[jm]
+            ],
+            meas_track=jnp.asarray(t_g2l, jnp.int32)[jnp.asarray(data.meas_track)[jm]],
+            meas_uv=jnp.asarray(data.meas_uv)[jm],
+            meas_mask=jnp.asarray(data.meas_mask)[jm]
+            & (jnp.arange(M_loc) < len(m_idx)),
         )
         if fixed_cam is None:
             fixed_local = None
@@ -1454,6 +1468,10 @@ class BundleAdjustment:
 
         ai = jnp.asarray(act_idx)
         nl = len(act_idx)
+        ti = jnp.asarray(t_idx)
+        nt = len(t_idx)
+        mi = jnp.asarray(m_idx)
+        nm = len(m_idx)
         out = data.replace(
             poses=jax.tree.map(
                 lambda g, l: g.at[ai].set(l[:nl]), data.poses, out_l.poses
@@ -1461,9 +1479,11 @@ class BundleAdjustment:
             cal=jax.tree.map(
                 lambda g, l: jnp.asarray(g).at[ai].set(l[:nl]), data.cal, out_l.cal
             ),
-            points=out_l.points[:T],
-            track_mask=out_l.track_mask[:T],
-            meas_mask=out_l.meas_mask[:M],
+            points=jnp.asarray(data.points).at[ti].set(out_l.points[:nt]),
+            track_mask=jnp.asarray(data.track_mask)
+            .at[ti]
+            .set(out_l.track_mask[:nt]),
+            meas_mask=jnp.asarray(data.meas_mask).at[mi].set(out_l.meas_mask[:nm]),
         )
         return out, metrics
 

@@ -86,7 +86,8 @@ def _lmeds_irls_sim3(
 
 
 def sim3_from_point_pairs(
-    pa: np.ndarray, pb: np.ndarray, opts: MergeOptions = MergeOptions()
+    pa: np.ndarray, pb: np.ndarray, opts: MergeOptions = MergeOptions(),
+    pad_hwm: Optional[dict] = None,
 ) -> tuple:
     """Robust Sim3 mapping points b -> frame a via LMedS-initialized IRLS
     Umeyama, fully batched on device (hypotheses vmapped, polish scanned).
@@ -98,8 +99,12 @@ def sim3_from_point_pairs(
         return Sim3.identity(), np.zeros(n, bool), False
 
     # pad the pair axis to a pow2 bucket so merge nodes of different sizes
-    # share one XLA executable
+    # share one XLA executable (pad_hwm: buckets only grow within a merge
+    # tree, so every node shares ONE trace)
     P = max(8, 1 << (n - 1).bit_length())
+    if pad_hwm is not None:
+        P = max(P, pad_hwm.get("sim3_pairs", 0))
+        pad_hwm["sim3_pairs"] = P
     pa_p = np.zeros((P, 3), np.float32)
     pb_p = np.zeros((P, 3), np.float32)
     pa_p[:n] = pa
@@ -197,20 +202,30 @@ def merge_children(
     pairs_3d3d: tuple,  # (pa (K,3), pb (K,3), track_a (K,), track_b (K,))
     opts: MergeOptions = MergeOptions(),
     meta: Optional[SceneMeta] = None,
+    pad_hwm: Optional[dict] = None,
 ) -> tuple:
     """Align child b onto child a via 3D-3D pairs, fuse duplicate tracks,
     optionally run parent BA. Returns (SfmData, metrics dict)."""
+    import time as _time
+
     pa, pb, ta, tb = pairs_3d3d
     metrics = {"num_3d3d_pairs": len(pa)}
-    sim, inl, ok = sim3_from_point_pairs(np.asarray(pa), np.asarray(pb), opts)
+    t0 = _time.perf_counter()
+    sim, inl, ok = sim3_from_point_pairs(
+        np.asarray(pa), np.asarray(pb), opts, pad_hwm=pad_hwm
+    )
     metrics["sim3_ok"] = bool(ok)
     metrics["sim3_inliers"] = int(inl.sum())
     metrics["sim3_inlier_mask"] = np.asarray(inl, bool)  # which 3D-3D pairs were fused
+    metrics["sim3_sec"] = _time.perf_counter() - t0
     if not ok:
         return None, metrics
+    t0 = _time.perf_counter()
     merge_pairs = np.stack([np.asarray(ta)[inl], np.asarray(tb)[inl]], axis=-1)
     merged = concatenate_scenes(data_a, data_b, sim, merge_track_pairs=merge_pairs, meta=meta)
     merged = merged.filter_by_reprojection_error(opts.parent_reproj_filter_px * 3)
+    metrics["concat_sec"] = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
     if opts.run_parent_ba:
         ba = BundleAdjustment(opts.parent_ba)
         counts = np.bincount(
@@ -222,9 +237,12 @@ def merge_children(
         # compacted solve: the merged pair typically activates a small
         # fraction of the full camera space, and pow2 bucketing shares
         # compiled executables across the merge tree
-        merged, ba_metrics = ba.run_compact(merged, fixed_cam=jnp.asarray(fixed))
+        merged, ba_metrics = ba.run_compact(
+            merged, fixed_cam=jnp.asarray(fixed), pad_hwm=pad_hwm
+        )
         merged = merged.filter_by_reprojection_error(opts.parent_reproj_filter_px)
         metrics["parent_ba"] = ba_metrics
+    metrics["ba_sec"] = _time.perf_counter() - t0
     metrics["merged_tracks"] = merged.number_tracks()
     metrics["merged_cameras"] = merged.number_images()
     return merged, metrics

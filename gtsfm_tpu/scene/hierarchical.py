@@ -23,6 +23,39 @@ from gtsfm_tpu.merging.merge import MergeOptions, merge_children
 from gtsfm_tpu.partitioner.partitioners import MetisPartitioner
 from gtsfm_tpu.products.types import ClusterTree
 from gtsfm_tpu.scene.mvo import MVOOptions, MultiViewOptimizer
+from gtsfm_tpu.utils.logger import get_logger
+
+logger = get_logger("hierarchical")
+
+
+def _expand_leaf_to_global(data_l, lc_pad, lc_full, cal_global, num_images: int):
+    """Scatter a leaf's local-index reconstruction into the global camera
+    space as ONE jitted dispatch (the eager scatter/gather chain cost
+    ~10 s/leaf in tunnel round trips). lc_pad: i32[n_local] local->global,
+    padding entries >= num_images (dropped by scatter mode). lc_full:
+    i32[n_local] same map with padding clamped to a real camera (gather
+    source for measurement remap; padded measurements are mask-False)."""
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def go(Rl, tl, pml, call, calg, meas_cam_l, lcp, lcf, n):
+        poses_g = SE3.identity((n,))
+        R = poses_g.R.at[lcp].set(Rl, mode="drop")
+        t = poses_g.t.at[lcp].set(tl, mode="drop")
+        pm = jnp.zeros(n, bool).at[lcp].set(pml, mode="drop")
+        calo = jax.tree.map(
+            lambda g, l: jnp.asarray(g).at[lcp].set(l, mode="drop"), calg, call
+        )
+        meas_cam_g = lcf[meas_cam_l]
+        return R, t, pm, calo, meas_cam_g
+
+    return go(
+        data_l.poses.R, data_l.poses.t, data_l.pose_mask, data_l.cal,
+        cal_global, data_l.meas_cam, lc_pad, lc_full, num_images,
+    )
 
 
 class HierarchicalOptions(NamedTuple):
@@ -75,6 +108,25 @@ class HierarchicalReconstruction:
         mvo = MultiViewOptimizer(opts.mvo, mesh=self.mesh)
         cluster_metrics = []
 
+        # uniform leaf buckets + shared pad high-water marks: every leaf
+        # runs at the SAME (cameras, edges) bucket, and the data-dependent
+        # track/measurement buckets only ever grow (largest leaf runs
+        # first), so the whole leaf fleet shares one traced executable set
+        # per stage. Without this each leaf hit its own bucket combo and
+        # paid a full jit retrace (~50 s/leaf on palace-281, remote TPU).
+        self._pad_hwm = {}
+        leaf_nodes = [nd for nd in _iter_nodes(tree) if nd.is_leaf and len(nd.value)]
+        if leaf_nodes:
+            from gtsfm_tpu.utils.numerics import ceil_pow2 as _cp2
+
+            self._pad_hwm["leaf_edges"] = max(
+                _cp2(len(nd.value), 8) for nd in leaf_nodes
+            )
+            self._pad_hwm["leaf_cams"] = max(
+                _cp2(len(np.unique(edges[edge_subset(nd.value)])), 8)
+                for nd in leaf_nodes
+            )
+
         def run_leaf(node: ClusterTree):
             """Run MVO on a COMPACTED cluster: cameras remapped to a dense
             pow2-bucketed local index space, edges padded to a pow2 bucket.
@@ -86,6 +138,9 @@ class HierarchicalReconstruction:
 
             from gtsfm_tpu.utils.numerics import ceil_pow2
 
+            import time as _t
+
+            t_prep0 = _t.perf_counter()
             sel = edge_subset(node.value)
             sub_edges = edges[sel]
             local_cams = np.unique(sub_edges)
@@ -108,11 +163,12 @@ class HierarchicalReconstruction:
                     data_np, kp_map, m_cached = hit
                     cluster_metrics.append(dict(m_cached, cache_hit=True))
                     return (jax.tree.map(jnp.asarray, data_np), kp_map)
-            n_local = ceil_pow2(len(local_cams), 8)
+            n_local = max(ceil_pow2(len(local_cams), 8),
+                          self._pad_hwm.get("leaf_cams", 0))
             g2l = np.full(num_images, -1, np.int64)
             g2l[local_cams] = np.arange(len(local_cams))
             E_raw = len(sel)
-            E_pad = ceil_pow2(E_raw, 8)
+            E_pad = max(ceil_pow2(E_raw, 8), self._pad_hwm.get("leaf_edges", 0))
             padE = E_pad - E_raw
 
             def _pad(a, fill=0):
@@ -133,6 +189,7 @@ class HierarchicalReconstruction:
             kp_l = np.asarray(keypoints_xy)[cam_pad_idx]
             cal_l = jax.tree.map(lambda a: jnp.asarray(a)[jnp.asarray(cam_pad_idx)], cal)
 
+            t_prep = _t.perf_counter() - t_prep0
             data_l, m = mvo.run(
                 num_images=n_local,
                 pairs=pairs_l,
@@ -146,31 +203,37 @@ class HierarchicalReconstruction:
                 keypoints_xy=kp_l,
                 cal=cal_l,
                 meta=None,
+                pad_hwm=self._pad_hwm,
             )
+            t_post0 = _t.perf_counter()
             cluster_metrics.append({k: v for k, v in m.items() if k != "aux"})
+            logger.info(
+                "  leaf mvo: prep=%.1fs %s",
+                t_prep,
+                " ".join(
+                    f"{k[:-4]}={v:.1f}s" for k, v in m.items()
+                    if k.endswith("_sec") and isinstance(v, float)
+                ),
+            )
             if m.get("failed"):
                 return None
             # expand the local result back to the global camera space
             nl = len(local_cams)
-            lc = jnp.asarray(local_cams)
-            poses_g = SE3.identity((num_images,))
-            poses_g = SE3(
-                R=poses_g.R.at[lc].set(data_l.poses.R[:nl]),
-                t=poses_g.t.at[lc].set(data_l.poses.t[:nl]),
-            )
-            pose_mask_g = jnp.zeros(num_images, bool).at[lc].set(
-                data_l.pose_mask[:nl]
-            )
-            cal_g = jax.tree.map(
-                lambda g, l: jnp.asarray(g).at[lc].set(l[:nl]), cal, data_l.cal
+            lc_pad = np.full(n_local, num_images, np.int64)  # OOB = dropped
+            lc_pad[:nl] = local_cams
+            lc_full = np.full(n_local, local_cams[0], np.int64)
+            lc_full[:nl] = local_cams
+            R_g, t_g, pose_mask_g, cal_g, meas_cam_g = _expand_leaf_to_global(
+                data_l, jnp.asarray(lc_pad, jnp.int32),
+                jnp.asarray(lc_full, jnp.int32), cal, num_images,
             )
             data = SfmData(
-                poses=poses_g,
+                poses=SE3(R=R_g, t=t_g),
                 pose_mask=pose_mask_g,
                 cal=cal_g,
                 points=data_l.points,
                 track_mask=data_l.track_mask,
-                meas_cam=jnp.asarray(local_cams, jnp.int32)[data_l.meas_cam],
+                meas_cam=meas_cam_g,
                 meas_track=data_l.meas_track,
                 meas_uv=data_l.meas_uv,
                 meas_mask=data_l.meas_mask,
@@ -179,19 +242,22 @@ class HierarchicalReconstruction:
             aux = m.get("aux", {})
             if aux:
                 aux = dict(aux, meas_cam=local_cams[np.asarray(aux["meas_cam"])])
-            kp_map = _kp_track_map(aux)
+            kp_map = _kp_track_map(aux, num_images, keypoints_xy.shape[1])
             if cache_key is not None:
                 self.cluster_cache.put(
                     cache_key,
                     (jax.tree.map(np.asarray, data), kp_map,
                      {k: v for k, v in m.items() if isinstance(v, (int, float, str))}),
                 )
+            logger.info("  leaf expand: %.1fs", _t.perf_counter() - t_post0)
             return (data, kp_map)
 
         def fold(node: ClusterTree, child_results):
             child_results = [c for c in child_results if c is not None]
             if node.is_leaf or not child_results:
                 if len(node.value):
+                    if id(node) in leaf_results:
+                        return leaf_results[id(node)]
                     return run_leaf(node)
                 return child_results[0] if child_results else None
             if len(child_results) == 1:
@@ -226,6 +292,36 @@ class HierarchicalReconstruction:
 
         phase_sec = {"leaf": 0.0, "merge": 0.0}
 
+        # leaf pre-pass, largest first: the biggest leaf sets the pad
+        # high-water marks, so every later leaf replays its executables
+        leaf_results: dict = {}
+        for nd in sorted(leaf_nodes, key=lambda x: -len(x.value)):
+            t0 = _time.perf_counter()
+            leaf_results[id(nd)] = run_leaf(nd)
+            dt = _time.perf_counter() - t0
+            phase_sec["leaf"] += dt
+            logger.info("leaf (%d edges): %.1fs", len(nd.value), dt)
+
+        # seed the merge-BA buckets at their root-level upper bounds (total
+        # live tracks/measurements across leaves) so every merge node in
+        # the tree — smallest to root — shares ONE compact-BA trace instead
+        # of retracing at each level's grown bucket combo
+        live = [r for r in leaf_results.values() if r is not None]
+        if live:
+            from gtsfm_tpu.utils.numerics import ceil_pow2 as _cp2
+
+            tot_t = sum(int(np.asarray(d.track_mask).sum()) for d, _ in live)
+            tot_m = sum(int(np.asarray(d.meas_mask).sum()) for d, _ in live)
+            self._pad_hwm["ba_cams"] = max(
+                self._pad_hwm.get("ba_cams", 0), _cp2(num_images, 8)
+            )
+            self._pad_hwm["ba_tracks"] = max(
+                self._pad_hwm.get("ba_tracks", 0), _cp2(max(tot_t, 16), 16)
+            )
+            self._pad_hwm["ba_meas"] = max(
+                self._pad_hwm.get("ba_meas", 0), _cp2(max(tot_m, 16), 16)
+            )
+
         def walk(node: ClusterTree, path: tuple):
             child_results = [
                 walk(c, path + (k + 1,)) for k, c in enumerate(node.children)
@@ -233,7 +329,14 @@ class HierarchicalReconstruction:
             t0 = _time.perf_counter()
             result = fold(node, child_results)
             phase = "leaf" if (node.is_leaf or not child_results) else "merge"
-            phase_sec[phase] += _time.perf_counter() - t0
+            dt = _time.perf_counter() - t0
+            if not (phase == "leaf" and id(node) in leaf_results):
+                phase_sec[phase] += dt
+                logger.info(
+                    "node %s (%s): %d edges in %.1fs%s",
+                    "/".join(map(str, path)) or "root", phase, len(node.value), dt,
+                    "" if result is not None else " [FAILED]",
+                )
             if result is not None:
                 self.node_results.append((path, result[0]))
             return result
@@ -259,37 +362,45 @@ class HierarchicalReconstruction:
             self._last_merge_fail = "overlapping_cameras"
             return None
 
-        pa, pb, ta, tb = [], [], [], []
+        ta_parts, tb_parts = [], []
         corr_i1 = np.asarray(tvr["corr_i1"])
         corr_i2 = np.asarray(tvr["corr_i2"])
         corr_mask = np.asarray(tvr["corr_mask"])
         pts_a = np.asarray(data_a.points)
         pts_b = np.asarray(data_b.points)
+        # vectorized per cut edge: the (image, kp) -> track maps are dense
+        # arrays, so each edge's matches resolve in one numpy gather (the
+        # per-match Python loop was the host hotspot at 281-camera scale)
         for a_img, b_img in node.value:
             key = (int(a_img), int(b_img))
             if key not in eindex:
                 continue
             e = eindex[key]
-            mm_ = corr_mask[e]
-            for k in np.nonzero(mm_)[0]:
-                kp1, kp2 = int(corr_i1[e, k]), int(corr_i2[e, k])
-                i, j = key
-                # orient: which child owns image i?
-                if i in cams_a and j in cams_b:
-                    t_a = map_a.get((i, kp1))
-                    t_b = map_b.get((j, kp2))
-                elif i in cams_b and j in cams_a:
-                    t_b = map_b.get((i, kp1))
-                    t_a = map_a.get((j, kp2))
-                else:
-                    continue
-                if t_a is None or t_b is None:
-                    continue
-                pa.append(pts_a[t_a])
-                pb.append(pts_b[t_b])
-                ta.append(t_a)
-                tb.append(t_b)
-        if not pa:
+            msk = corr_mask[e]
+            kp1 = corr_i1[e, msk].astype(np.int64)
+            kp2 = corr_i2[e, msk].astype(np.int64)
+            i, j = key
+            # orient: which child owns image i?
+            if i in cams_a and j in cams_b:
+                t_a, t_b = map_a[i, kp1], map_b[j, kp2]
+            elif i in cams_b and j in cams_a:
+                t_b, t_a = map_b[i, kp1], map_a[j, kp2]
+            else:
+                continue
+            ok = (t_a >= 0) & (t_b >= 0)
+            ta_parts.append(t_a[ok])
+            tb_parts.append(t_b[ok])
+        ta = np.concatenate(ta_parts).astype(np.int64) if ta_parts else np.zeros(0, np.int64)
+        tb = np.concatenate(tb_parts).astype(np.int64) if tb_parts else np.zeros(0, np.int64)
+        # cap the 3D-3D pair count: LMedS+IRLS saturates well below 4k
+        # pairs, and an uncapped count gives every merge node its own
+        # Sim3-solve bucket (deterministic stride subsample keeps edge
+        # coverage roughly uniform)
+        MAX_SIM3_PAIRS = 4096
+        if len(ta) > MAX_SIM3_PAIRS:
+            sel = np.linspace(0, len(ta) - 1, MAX_SIM3_PAIRS).astype(np.int64)
+            ta, tb = ta[sel], tb[sel]
+        if len(ta) == 0:
             # diagnose: cut edges whose endpoints are not split across the
             # two children indicate cameras dropped below (CC pruning or a
             # cascaded merge failure); map misses indicate filtered tracks
@@ -308,35 +419,48 @@ class HierarchicalReconstruction:
             return None
         merged, mm = merge_children(
             data_a, data_b,
-            (np.asarray(pa), np.asarray(pb), np.asarray(ta), np.asarray(tb)),
+            (pts_a[ta], pts_b[tb], ta, tb),
             self.options.merge, meta=meta,
+            pad_hwm=getattr(self, "_pad_hwm", None),
+        )
+        logger.info(
+            "  merge: pairs=%d sim3=%.1fs concat=%.1fs ba=%.1fs",
+            len(ta), mm.get("sim3_sec", 0.0), mm.get("concat_sec", 0.0),
+            mm.get("ba_sec", 0.0),
         )
         if merged is None:
             self._last_merge_fail = "sim3_failed(pairs=%d inl=%d)" % (
-                len(pa), int(mm.get("sim3_inliers", 0)))
+                len(ta), int(mm.get("sim3_inliers", 0)))
             return None
         # rebuild the (image, kp) -> track map for the merged scene; only
         # Sim3-inlier pairs were actually fused by merge_children, so map
-        # b-tracks onto a-tracks for inlier pairs only
-        new_map = dict(map_a)
-        inl = mm.get("sim3_inlier_mask", np.ones(len(ta), bool))
-        ta_of_tb = {
-            int(t_b): int(t_a) for t_a, t_b, keep in zip(ta, tb, inl) if keep
-        }
+        # b-tracks onto a-tracks for inlier pairs only (children own
+        # disjoint cameras, so each (image, kp) lives in exactly one map)
+        inl = np.asarray(mm.get("sim3_inlier_mask", np.ones(len(ta), bool)), bool)
         offset = data_a.max_tracks
-        for (img, kp), t_b in map_b.items():
-            new_map[(img, kp)] = ta_of_tb.get(int(t_b), int(t_b) + offset)
+        nb = pts_b.shape[0]
+        lut = np.arange(nb, dtype=np.int64) + offset
+        lut[tb[inl]] = ta[inl]
+        bmask = map_b >= 0
+        new_map = np.where(
+            bmask, lut[np.clip(map_b, 0, nb - 1)], map_a
+        ).astype(np.int32)
         return merged, new_map
 
 
-def _kp_track_map(aux: dict) -> dict:
-    """(image, keypoint) -> track index lookup from MVO aux arrays."""
-    out = {}
-    if not aux:
-        return out
-    mc = aux["meas_cam"]
-    mk = aux["meas_kp"]
-    mt = aux["meas_track"]
-    for c, k, t in zip(mc, mk, mt):
-        out[(int(c), int(k))] = int(t)
+def _iter_nodes(tree: ClusterTree):
+    yield tree
+    for c in tree.children:
+        yield from _iter_nodes(c)
+
+
+def _kp_track_map(aux: dict, num_images: int, max_kp: int) -> np.ndarray:
+    """Dense (num_images, max_kp) -> track index array from MVO aux arrays
+    (-1 = no track). A dense array keeps cross-cluster lookups as single
+    numpy gathers instead of per-match dict probes."""
+    out = np.full((num_images, max_kp), -1, np.int32)
+    if aux:
+        out[np.asarray(aux["meas_cam"]), np.asarray(aux["meas_kp"])] = np.asarray(
+            aux["meas_track"]
+        )
     return out

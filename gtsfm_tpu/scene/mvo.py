@@ -81,9 +81,24 @@ class MultiViewOptimizer:
         keypoints_xy: np.ndarray,  # (N, K, 2)
         cal,  # batched calibration [N]
         meta: Optional[SceneMeta] = None,
+        pad_hwm: Optional[dict] = None,
     ) -> tuple:
-        """-> (SfmData, metrics dict)."""
+        """-> (SfmData, metrics dict).
+
+        pad_hwm: optional shared high-water-mark dict for the data-dependent
+        pad buckets (tracks, measurements, TA augmentation). A hierarchical
+        run passes one dict across all its leaves so, with leaves executed
+        largest-first, every leaf shares ONE traced/compiled executable set
+        per stage instead of retracing at each leaf's own bucket combo
+        (measured on palace-281: ~50 s/leaf of pure jit retrace)."""
         opts = self.options
+
+        def _bucket(key: str, raw: int, mult: int) -> int:
+            v = ceil_pow2(raw, mult)
+            if pad_hwm is not None:
+                v = max(v, pad_hwm.get(key, 0))
+                pad_hwm[key] = v
+            return v
         metrics: dict = {}
         t_start = time.perf_counter()
         pairs = np.asarray(pairs, np.int64)
@@ -119,11 +134,15 @@ class MultiViewOptimizer:
             return SfmData.empty(num_images, meta=meta), {**metrics, "failed": True}
 
         # --- rotation averaging ------------------------------------------
+        # full edge arrays + edge_mask (NOT boolean slicing): the kept-edge
+        # count is data-dependent, and slicing would give every cluster its
+        # own solver shapes — full arrays keep the jit trace shape-stable
         t0 = time.perf_counter()
         ra = RotationAveraging(opts.rotation)
         wRi, rot_valid = ra.run(
-            num_images, pairs[edge_mask], np.asarray(i2Ri1)[edge_mask],
-            num_inliers=np.asarray(num_inliers)[edge_mask],
+            num_images, pairs, np.asarray(i2Ri1),
+            num_inliers=np.asarray(num_inliers),
+            edge_mask=edge_mask,
         )
         metrics["rotation_averaging_sec"] = time.perf_counter() - t0
 
@@ -141,7 +160,7 @@ class MultiViewOptimizer:
         # executables are shared across clusters (hierarchical runs invoke
         # this per leaf with different track counts)
         T_raw = track_cam.shape[0]
-        T_pad = ceil_pow2(T_raw, 16)
+        T_pad = _bucket("mvo_tracks", T_raw, 16)
         if T_pad != T_raw:
             padn = T_pad - T_raw
 
@@ -174,9 +193,9 @@ class MultiViewOptimizer:
                 # pad the direction-augmentation axis to pow2 with
                 # weight-0 entries anchored to a sentinel node so the TA
                 # solve shape is bucket-stable across clusters
-                S_pad = ceil_pow2(len(sel), 8)
+                S_pad = _bucket("ta_sel", len(sel), 8)
                 A_raw = len(cams_d)
-                A_pad = ceil_pow2(A_raw + 1, 8)
+                A_pad = _bucket("ta_aug", A_raw + 1, 8)
                 padn = A_pad - A_raw
                 cams_d = np.concatenate([cams_d, np.zeros(padn, np.int32)])
                 nodes_d = np.concatenate(
@@ -190,8 +209,8 @@ class MultiViewOptimizer:
                 )
                 track_dirs = (cams_d, nodes_d, dirs_d, wts_d)
         wti, trans_valid, ta_inlier_mask = ta.run(
-            num_images, pairs[edge_mask], np.asarray(i2Ui1)[edge_mask], wRi,
-            seed=opts.seed, track_dirs=track_dirs,
+            num_images, pairs, np.asarray(i2Ui1), wRi,
+            edge_mask=edge_mask, seed=opts.seed, track_dirs=track_dirs,
         )
         metrics["translation_averaging_sec"] = time.perf_counter() - t0
         metrics["num_edges_after_1dsfm"] = int(ta_inlier_mask.sum())
@@ -233,7 +252,7 @@ class MultiViewOptimizer:
         M_raw = len(obs_t)
         # pow2-bucket the measurement axis (see track padding above) —
         # padding rows carry meas_mask False and contribute exact zeros
-        M_pad = ceil_pow2(M_raw, 16)
+        M_pad = _bucket("mvo_meas", M_raw, 16)
         padn = M_pad - M_raw
         meas_cam = np.concatenate([meas_cam, np.zeros(padn, np.int32)])
         meas_track = np.concatenate([meas_track, np.zeros(padn, np.int32)])
