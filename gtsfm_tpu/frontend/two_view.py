@@ -101,6 +101,7 @@ def run_two_view_batch(
     match_idx: jnp.ndarray | None = None,  # i32[P, K] precomputed matches
     match_mask: jnp.ndarray | None = None,  # bool[P, K]
     match_score: jnp.ndarray | None = None,  # f32[P, K]
+    pair_ids: jnp.ndarray | None = None,  # i32[P] global pair indices
 ) -> TwoViewResult:
     """The batched two-view forward pass. All shapes static; vmapped over P.
 
@@ -109,9 +110,17 @@ def run_two_view_batch(
     fused mutual-NN matching is skipped and verification runs on them
     directly (parity: the reference's swappable MatcherBase feeding
     two_view_estimator.run_2view).
+
+    pair_ids, when given, derive each pair's RANSAC key by folding its
+    GLOBAL index into `key` — the random stream is then invariant to how
+    a scene's pairs are chunked into batches (pair_batch_size is a pure
+    throughput knob, not a result-changing one).
     """
     P, K, _ = kp_xy1.shape
-    keys = jax.random.split(key, P)
+    if pair_ids is not None:
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(pair_ids)
+    else:
+        keys = jax.random.split(key, P)
     use_precomputed = match_idx is not None
     if (
         not use_precomputed

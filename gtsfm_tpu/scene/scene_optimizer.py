@@ -40,13 +40,53 @@ from gtsfm_tpu.io import colmap as colmap_io
 from gtsfm_tpu.loader.base import LoaderBase, batch_calibrations
 from gtsfm_tpu.retriever.retrievers import SequentialRetriever
 from gtsfm_tpu.scene.mvo import MVOOptions, MultiViewOptimizer
+from gtsfm_tpu.utils.logger import get_logger
+
+logger = get_logger("scene")
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("opts", "use_matches"))
+def _two_view_chunk_device(
+    kp_xy, kp_mask, descs, cal, midx_all, mmask_all,
+    i1, i2, pm, e_idx, base_key, opts, use_matches,
+):
+    """One two-view chunk over DEVICE-RESIDENT scene arrays: gather the
+    pair batch and run it inside a single dispatch. The host sends only
+    the chunk's pair indices; scene keypoints/descriptors/matches are
+    uploaded once per scene (eager per-chunk gathers re-shipped the
+    gathered slabs over the tunnel every chunk)."""
+    kwargs = {}
+    if use_matches:
+        kwargs = dict(
+            match_idx=midx_all[e_idx],
+            match_mask=mmask_all[e_idx],
+            match_score=mmask_all[e_idx].astype(jnp.float32),
+        )
+    return run_two_view_batch(
+        kp_xy1=kp_xy[i1], kp_xy2=kp_xy[i2],
+        desc1=descs[i1], desc2=descs[i2],
+        kp_mask1=kp_mask[i1], kp_mask2=kp_mask[i2],
+        cal1=jax.tree.map(lambda a: a[i1], cal),
+        cal2=jax.tree.map(lambda a: a[i2], cal),
+        pair_mask=pm,
+        key=base_key,
+        opts=opts,
+        pair_ids=e_idx,
+        **kwargs,
+    )
 
 
 class SceneOptimizerOptions(NamedTuple):
     detector: DoGSiftOptions = DoGSiftOptions(max_keypoints=1024)
     two_view: TwoViewOptions = TwoViewOptions()
     mvo: MVOOptions = MVOOptions()
-    pair_batch_size: int = 64  # pairs per two-view jit call
+    # pairs per two-view jit call: on a REMOTE tpu every chunk costs fixed
+    # dispatch + host<->device transfer latency (~1.5 s measured over the
+    # axon tunnel), so large scenes want few, fat chunks — 256 cut the
+    # palace-281 two-view stage 114 s -> ~35 s at identical math
+    pair_batch_size: int = 256
     image_batch_size: int = 4  # images per detector jit call
     seed: int = 0
     output_root: Optional[str] = None
@@ -218,6 +258,7 @@ class SceneOptimizer:
             max(h for (h, _w) in sizes),
         )
         detect_sec = time.perf_counter() - t0
+        logger.info("detect+describe: %d images in %.1fs", n, detect_sec)
 
         # ---- retrieve pairs ------------------------------------------
         t0 = time.perf_counter()
@@ -290,6 +331,10 @@ class SceneOptimizer:
                 pairs = np.concatenate([pairs, bridges])
                 tvr = {k: np.concatenate([tvr[k], tvr_b[k]]) for k in tvr}
         frontend_sec = time.perf_counter() - t0
+        logger.info(
+            "two-view: %d pairs (%d valid) in %.1fs",
+            len(pairs), int(tvr["valid"].sum()), frontend_sec,
+        )
 
         fe_group = MetricsGroup(
             "frontend_summary",
@@ -374,6 +419,11 @@ class SceneOptimizer:
                 meta=meta,
             )
         mvo_metrics["backend_sec"] = time.perf_counter() - t_mvo
+        logger.info(
+            "back-end: %d cameras, %d tracks in %.1fs",
+            data.number_images(), data.number_tracks(),
+            mvo_metrics["backend_sec"],
+        )
         mvo_group = MetricsGroup(
             "multiview_optimizer_metrics",
             [Metric(k, v) for k, v in mvo_metrics.items() if isinstance(v, (int, float))],
@@ -687,15 +737,29 @@ class SceneOptimizer:
             frame = _PILImage.fromarray(arr)
             frame.save(os.path.join(out_dir, f"frame_{f:04d}.png"))
             frames.append(frame)
-        # animated fly-through (codec-free GIF; the reference encodes an
-        # mp4 via gsplat+ffmpeg, splat/rendering.py:102-197) — linked from
-        # the results browser (visualization/viewer.py)
+        # animated fly-through: GIF (codec-free, always) + mp4 when an
+        # OpenCV codec is present (reference parity: B-spline path video,
+        # splat/rendering.py:102-197) — linked from the results browser
+        # (visualization/viewer.py)
         if frames:
             frames[0].save(
                 os.path.join(results_dir, "splat_flythrough.gif"),
                 save_all=True, append_images=frames[1:],
                 duration=max(1000 // 24, 20), loop=0,
             )
+            try:
+                import cv2
+
+                vw = cv2.VideoWriter(
+                    os.path.join(results_dir, "splat_flythrough.mp4"),
+                    cv2.VideoWriter_fourcc(*"mp4v"), 24.0, (W, H),
+                )
+                if vw.isOpened():
+                    for frame in frames:
+                        vw.write(np.asarray(frame)[:, :, ::-1])  # RGB->BGR
+                    vw.release()
+            except Exception:  # pragma: no cover - codec-less builds
+                pass
 
     # ------------------------------------------------------------------
     def _global_descriptor(self):
@@ -825,6 +889,16 @@ class SceneOptimizer:
         }
         key = jax.random.PRNGKey(opts.seed)
         mesh = self._mesh if (self._mesh is not None and B % self._mesh.shape["data"] == 0) else None
+        if mesh is None and self.matcher is None:
+            # single-device fast path: scene arrays live on the DEVICE and
+            # every chunk gathers + runs inside one jit — the host loop
+            # ships only pair indices up and compact results down. The
+            # per-chunk host-gather path re-uploaded the gathered keypoint/
+            # descriptor slabs every chunk (~10-160 MB each over a remote
+            # tunnel; measured 8 s/chunk on palace-281 vs ~1 s here).
+            return self._run_two_view_device_resident(
+                pairs, kp_xy, kp_mask, descs, cal, out, key, pair_matches
+            )
         for s in range(0, P, B):
             chunk = pairs[s : s + B]
             pb = len(chunk)
@@ -882,12 +956,78 @@ class SceneOptimizer:
                     opts=opts.two_view,
                     **matches,
                 )
-            for name, attr in [
-                ("i2Ri1", res.i2Ri1), ("i2Ui1", res.i2Ui1),
-                ("corr_i1", res.corr_i1), ("corr_i2", res.corr_i2),
-                ("corr_mask", res.corr_mask), ("num_matches", res.num_matches),
-                ("num_inliers", res.num_inliers), ("inlier_ratio", res.inlier_ratio),
-                ("valid", res.valid),
-            ]:
-                out[name][s : s + pb] = np.asarray(attr)[:pb]
+            # ONE batched device->host transfer for the whole result struct:
+            # nine sequential np.asarray() pulls each paid a full tunnel
+            # round trip (~0.15 s apiece on a remote tpu)
+            res_h = jax.device_get(
+                {
+                    "i2Ri1": res.i2Ri1, "i2Ui1": res.i2Ui1,
+                    "corr_i1": res.corr_i1, "corr_i2": res.corr_i2,
+                    "corr_mask": res.corr_mask, "num_matches": res.num_matches,
+                    "num_inliers": res.num_inliers,
+                    "inlier_ratio": res.inlier_ratio, "valid": res.valid,
+                }
+            )
+            for name, attr in res_h.items():
+                out[name][s : s + pb] = attr[:pb]
+        return out
+
+    # ------------------------------------------------------------------
+    def _run_two_view_device_resident(
+        self, pairs, kp_xy, kp_mask, descs, cal, out, key, pair_matches
+    ):
+        """Two-view over device-resident scene arrays (no mesh, internal
+        matcher). See _two_view_chunk_device."""
+        opts = self.options
+        P = len(pairs)
+        B = opts.pair_batch_size
+        K = kp_xy.shape[1]
+        kp_dev = jnp.asarray(np.asarray(kp_xy, np.float32))
+        kpm_dev = jnp.asarray(np.asarray(kp_mask, bool))
+        d_dev = jnp.asarray(np.asarray(descs, np.float32))
+        cal_dev = jax.tree.map(jnp.asarray, cal)
+        use_matches = pair_matches is not None
+        if use_matches:
+            # full per-pair match table, uploaded once (+B slack rows so a
+            # final-chunk gather never reads out of bounds)
+            midx = np.zeros((P + B, K), np.int32)
+            mmask = np.zeros((P + B, K), bool)
+            for p, (a, b) in enumerate(pairs):
+                e = pair_matches.get((int(a), int(b)))
+                if e is None:
+                    continue
+                idx1, idx2, keep = e
+                idx1, idx2 = idx1[keep], idx2[keep]
+                midx[p, idx1] = idx2
+                mmask[p, idx1] = True
+            midx_dev = jnp.asarray(midx)
+            mmask_dev = jnp.asarray(mmask)
+        else:
+            midx_dev = jnp.zeros((1, K), jnp.int32)
+            mmask_dev = jnp.zeros((1, K), bool)
+        for s in range(0, P, B):
+            chunk = pairs[s : s + B]
+            pb = len(chunk)
+            pad = B - pb
+            i1 = np.concatenate([chunk[:, 0], np.zeros(pad, np.int64)]).astype(np.int32)
+            i2 = np.concatenate([chunk[:, 1], np.zeros(pad, np.int64)]).astype(np.int32)
+            pm = np.concatenate([np.ones(pb, bool), np.zeros(pad, bool)])
+            e_idx = np.arange(s, s + B, dtype=np.int32)
+            res = _two_view_chunk_device(
+                kp_dev, kpm_dev, d_dev, cal_dev, midx_dev, mmask_dev,
+                jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(pm),
+                jnp.asarray(e_idx), key,
+                opts=opts.two_view, use_matches=use_matches,
+            )
+            res_h = jax.device_get(
+                {
+                    "i2Ri1": res.i2Ri1, "i2Ui1": res.i2Ui1,
+                    "corr_i1": res.corr_i1, "corr_i2": res.corr_i2,
+                    "corr_mask": res.corr_mask, "num_matches": res.num_matches,
+                    "num_inliers": res.num_inliers,
+                    "inlier_ratio": res.inlier_ratio, "valid": res.valid,
+                }
+            )
+            for name, attr in res_h.items():
+                out[name][s : s + pb] = attr[:pb]
         return out
