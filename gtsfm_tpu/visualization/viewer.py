@@ -122,6 +122,7 @@ def scan_results_and_build_index(results_root: str, output_path: str) -> list:
         parent = os.path.dirname(s)
         for name, label in [
             ("splat_flythrough.gif", "fly-through"),
+            ("splat_flythrough.mp4", "fly-through video"),
             ("splats.ply", "splats"),
             ("gaussian_points.ply", "gaussian cloud"),
             ("metrics_report.html", "metrics"),
