@@ -196,6 +196,53 @@ def concatenate_scenes(
     )
 
 
+def compact_tracks(data: SfmData, pad_hwm: Optional[dict] = None) -> tuple:
+    """Drop dead track/measurement slots, re-bucketing both axes to pow2
+    (grow-only under pad_hwm). A merge concatenates its children's PADDED
+    axes, so without this every tree level carries the dead slots of the
+    level below AND gets brand-new array shapes — each level then
+    recompiles the filter/BA programs (~30-60 s/level on a remote TPU).
+    Returns (compacted SfmData, old->new track index map with -1 = dropped)."""
+    from gtsfm_tpu.utils.numerics import ceil_pow2
+
+    tm = np.asarray(data.track_mask)
+    mm = np.asarray(data.meas_mask)
+    mt = np.asarray(data.meas_track)
+    live = tm.copy()
+    live[mt[mm]] = True
+    t_idx = np.flatnonzero(live)
+    m_idx = np.flatnonzero(mm)
+    if len(t_idx) == 0 or len(m_idx) == 0:
+        return data, np.arange(data.max_tracks, dtype=np.int64)
+
+    def _bucket(key, raw, mult):
+        v = ceil_pow2(raw, mult)
+        if pad_hwm is not None:
+            v = max(v, pad_hwm.get(key, 0))
+            pad_hwm[key] = v
+        return v
+
+    T_loc = _bucket("merge_tracks", len(t_idx), 16)
+    M_loc = _bucket("merge_meas", len(m_idx), 16)
+    t_pad = np.concatenate([t_idx, np.full(T_loc - len(t_idx), t_idx[0], np.int64)])
+    m_pad = np.concatenate([m_idx, np.full(M_loc - len(m_idx), m_idx[0], np.int64)])
+    old2new = np.full(data.max_tracks, -1, np.int64)
+    old2new[t_idx] = np.arange(len(t_idx))
+
+    points = np.asarray(data.points)
+    uv = np.asarray(data.meas_uv)
+    mc = np.asarray(data.meas_cam)
+    out = data.replace(
+        points=jnp.asarray(points[t_pad]),
+        track_mask=jnp.asarray(tm[t_pad] & (np.arange(T_loc) < len(t_idx))),
+        meas_cam=jnp.asarray(mc[m_pad], jnp.int32),
+        meas_track=jnp.asarray(np.maximum(old2new, 0)[mt[m_pad]], jnp.int32),
+        meas_uv=jnp.asarray(uv[m_pad]),
+        meas_mask=jnp.asarray(mm[m_pad] & (np.arange(M_loc) < len(m_idx))),
+    )
+    return out, old2new
+
+
 def merge_children(
     data_a: SfmData,
     data_b: SfmData,
@@ -223,6 +270,10 @@ def merge_children(
     t0 = _time.perf_counter()
     merge_pairs = np.stack([np.asarray(ta)[inl], np.asarray(tb)[inl]], axis=-1)
     merged = concatenate_scenes(data_a, data_b, sim, merge_track_pairs=merge_pairs, meta=meta)
+    # compact immediately: downstream filter/BA then run at grow-only
+    # bucket shapes shared by every merge node (see compact_tracks)
+    merged, track_old2new = compact_tracks(merged, pad_hwm=pad_hwm)
+    metrics["track_old2new"] = track_old2new
     merged = merged.filter_by_reprojection_error(opts.parent_reproj_filter_px * 3)
     metrics["concat_sec"] = _time.perf_counter() - t0
     t0 = _time.perf_counter()

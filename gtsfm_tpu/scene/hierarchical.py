@@ -442,10 +442,15 @@ class HierarchicalReconstruction:
         lut = np.arange(nb, dtype=np.int64) + offset
         lut[tb[inl]] = ta[inl]
         bmask = map_b >= 0
-        new_map = np.where(
-            bmask, lut[np.clip(map_b, 0, nb - 1)], map_a
-        ).astype(np.int32)
-        return merged, new_map
+        new_map = np.where(bmask, lut[np.clip(map_b, 0, nb - 1)], map_a)
+        # merge_children compacts the merged track axis; compose the
+        # old->new permutation so the map indexes the compacted scene
+        o2n = mm.get("track_old2new")
+        if o2n is not None:
+            new_map = np.where(
+                new_map >= 0, o2n[np.clip(new_map, 0, len(o2n) - 1)], -1
+            )
+        return merged, new_map.astype(np.int32)
 
 
 def _iter_nodes(tree: ClusterTree):
