@@ -284,10 +284,9 @@ class SceneOptimizer:
             )
             kp_xy = syn["keypoints_xy"]
             kp_mask = syn["kp_mask"]
-            pair_matches = {
-                (int(a), int(b)): (syn["corr_i1"][e], syn["corr_i2"][e], syn["corr_mask"][e])
-                for e, (a, b) in enumerate(pairs)
-            }
+            # matches stay as (E, K) arrays end-to-end — a per-pair dict
+            # round trip costs two Python passes over every correspondence
+            pair_matches = (syn["corr_i1"], syn["corr_i2"], syn["corr_mask"])
             descs = np.zeros((n, kp_xy.shape[1], 4), np.float32)
         elif direct:
             from gtsfm_tpu.frontend.correspondence import (
@@ -925,16 +924,11 @@ class SceneOptimizer:
             if pair_matches is not None:
                 # precomputed per-pair correspondence indices (direct mode):
                 # match_idx[p, k1] = k2 for each aggregated correspondence
-                midx = np.zeros((B, K), np.int32)
-                mmask = np.zeros((B, K), bool)
-                for p, (a, b) in enumerate(chunk):
-                    e = pair_matches.get((int(a), int(b)))
-                    if e is None:
-                        continue
-                    idx1, idx2, keep = e
-                    idx1, idx2 = idx1[keep], idx2[keep]
-                    midx[p, idx1] = idx2
-                    mmask[p, idx1] = True
+                midx, mmask = self._match_table(chunk, pair_matches if not
+                                                isinstance(pair_matches, tuple)
+                                                else tuple(np.asarray(x)[s : s + B]
+                                                           for x in pair_matches),
+                                                K, B)
                 matches = dict(
                     match_idx=jnp.asarray(midx),
                     match_mask=jnp.asarray(mmask),
@@ -973,6 +967,32 @@ class SceneOptimizer:
         return out
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _match_table(pairs, pair_matches, K, rows):
+        """(rows, K) match_idx/match_mask tables (match_idx[p, k1] = k2)
+        from either an (E, K) corr_i1/corr_i2/corr_mask array triple
+        aligned with `pairs`, or a legacy per-pair dict."""
+        P = len(pairs)
+        midx = np.zeros((rows, K), np.int32)
+        mmask = np.zeros((rows, K), bool)
+        if isinstance(pair_matches, tuple):
+            ci1, ci2, cm = (np.asarray(x) for x in pair_matches)
+            r, k = np.nonzero(cm[:P])
+            k1 = ci1[r, k]
+            midx[r, k1] = ci2[r, k]
+            mmask[r, k1] = True
+        else:
+            for p, (a, b) in enumerate(pairs):
+                e = pair_matches.get((int(a), int(b)))
+                if e is None:
+                    continue
+                idx1, idx2, keep = e
+                idx1, idx2 = idx1[keep], idx2[keep]
+                midx[p, idx1] = idx2
+                mmask[p, idx1] = True
+        return midx, mmask
+
+    # ------------------------------------------------------------------
     def _run_two_view_device_resident(
         self, pairs, kp_xy, kp_mask, descs, cal, out, key, pair_matches
     ):
@@ -990,16 +1010,7 @@ class SceneOptimizer:
         if use_matches:
             # full per-pair match table, uploaded once (+B slack rows so a
             # final-chunk gather never reads out of bounds)
-            midx = np.zeros((P + B, K), np.int32)
-            mmask = np.zeros((P + B, K), bool)
-            for p, (a, b) in enumerate(pairs):
-                e = pair_matches.get((int(a), int(b)))
-                if e is None:
-                    continue
-                idx1, idx2, keep = e
-                idx1, idx2 = idx1[keep], idx2[keep]
-                midx[p, idx1] = idx2
-                mmask[p, idx1] = True
+            midx, mmask = self._match_table(pairs, pair_matches, K, P + B)
             midx_dev = jnp.asarray(midx)
             mmask_dev = jnp.asarray(mmask)
         else:

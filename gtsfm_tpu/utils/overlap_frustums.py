@@ -43,6 +43,24 @@ def _backproject(wTc: SE3, cal, uv, z):
     return wTc.transform(ray)
 
 
+def points_in_view(
+    uv: np.ndarray, z: np.ndarray, wh: np.ndarray, z_min: float = 1e-6,
+) -> np.ndarray:
+    """Batched in-view mask from already-projected points.
+
+    uv: (..., K, 2) pixel coords; z: (..., K) depths; wh: (..., 2) per-view
+    (width, height). Pure numpy — the projection itself is the caller's
+    (batched, device-side) job."""
+    uv = np.asarray(uv)
+    z = np.asarray(z)
+    wh = np.asarray(wh, np.float32)
+    return (
+        (z > z_min)
+        & (uv[..., 0] >= 0) & (uv[..., 0] < wh[..., None, 0])
+        & (uv[..., 1] >= 0) & (uv[..., 1] < wh[..., None, 1])
+    )
+
+
 def in_frustum(
     points: np.ndarray, wTc: SE3, cal, width: int, height: int,
     z_min: float, z_max: float,
