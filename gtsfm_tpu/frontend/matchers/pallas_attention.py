@@ -56,13 +56,21 @@ def fused_attention(q, k, v, kv_mask=None, interpret: bool = False):
         mask = jnp.ones((1, Kk), jnp.int32)
     else:
         mask = kv_mask.astype(jnp.int32)[None, :]
-    grid = (h, Kq // TILE_Q)
+    # widest query tile whose score block still fits VMEM comfortably:
+    # per-program bytes ~ TILE_Q*Kk*4 (scores, f32) + 2*Kk*dh*2 (K/V bf16)
+    # + TILE_Q*dh*(2+4). Wider tiles amortize the K/V re-load across query
+    # rows — at (1024, 1024, 64) one tile per head loads K/V ONCE (8x less
+    # HBM than 128-row tiles; attention was the matcher's bandwidth floor).
+    tile_q = TILE_Q
+    while tile_q * 2 <= Kq and (tile_q * 2) * Kk * 4 <= 6 * 1024 * 1024:
+        tile_q *= 2
+    grid = (h, Kq // tile_q)
     return pl.pallas_call(
         _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((h, Kq, dh), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TILE_Q, dh), lambda hi, qi: (hi, qi, 0),
+            pl.BlockSpec((1, tile_q, dh), lambda hi, qi: (hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Kk, dh), lambda hi, qi: (hi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -71,7 +79,7 @@ def fused_attention(q, k, v, kv_mask=None, interpret: bool = False):
             pl.BlockSpec((1, Kk), lambda hi, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_Q, dh), lambda hi, qi: (hi, qi, 0),
+        out_specs=pl.BlockSpec((1, tile_q, dh), lambda hi, qi: (hi, qi, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * h * Kq * Kk * dh,
