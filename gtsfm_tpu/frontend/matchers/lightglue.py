@@ -99,6 +99,40 @@ def _merge(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(1, 0, 2).reshape(K, h * dh)
 
 
+def _cross_attend(qk0, qk1, v0, v1, mask0=None, mask1=None,
+                  dtype=jnp.float32, use_pallas=False):
+    """Bidirectional cross attention computing the similarity matrix ONCE
+    (S10 = S01^T — the official LightGlue bidirectional trick). Returns
+    (message into image 0, message into image 1), each (h, K, dh)."""
+    if (
+        use_pallas
+        and jax.default_backend() in ("tpu", "axon")
+        and qk0.shape[1] % 128 == 0
+        and qk1.shape[1] % 128 == 0
+        and qk0.shape[1] * qk1.shape[1] * 4 <= 6 * 1024 * 1024  # S fits VMEM
+    ):
+        from gtsfm_tpu.frontend.matchers.pallas_attention import fused_cross_attention
+
+        return fused_cross_attention(
+            qk0.astype(dtype), qk1.astype(dtype),
+            v0.astype(dtype), v1.astype(dtype),
+            mask0=mask0, mask1=mask1,
+        )
+    s = jnp.einsum(
+        "hqd,hkd->hqk", qk0.astype(dtype), qk1.astype(dtype),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(jnp.float32(qk0.shape[-1]))
+    s0 = s if mask1 is None else jnp.where(mask1[None, None, :], s, -1e9)
+    s1 = s if mask0 is None else jnp.where(mask0[None, :, None], s, -1e9)
+    a0 = jax.nn.softmax(s0, axis=-1)
+    a1 = jax.nn.softmax(s1, axis=1)  # down the image-0 axis of the SAME s
+    o0 = jnp.einsum("hqk,hkd->hqd", a0.astype(dtype), v1.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+    o1 = jnp.einsum("hqk,hqd->hkd", a1.astype(dtype), v0.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+    return o0, o1
+
+
 def _attend(q, k, v, kv_mask=None, dtype=jnp.float32, use_pallas=False):
     # q,k,v: (h, Kq/Kk, dh); score/AV matmuls in `dtype` (bf16 on the MXU
     # in mixed-precision mode), softmax accumulated in f32. With
@@ -125,7 +159,7 @@ def _attend(q, k, v, kv_mask=None, dtype=jnp.float32, use_pallas=False):
     return jnp.einsum(
         "hqk,hkd->hqd", a.astype(dtype), v.astype(dtype),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dtype)
 
 
 class SelfBlock(nn.Module):
@@ -137,6 +171,11 @@ class SelfBlock(nn.Module):
     @nn.compact
     def __call__(self, x, cos, sin, mask=None):
         d, h = self.dim, self.heads
+        # rotary in compute dtype: cos/sin are f32 from the posenc; mixing
+        # them into bf16 q/k would silently promote the whole attention
+        # input back to f32 (an extra HBM round-trip per block)
+        cos = cos.astype(self.dtype)
+        sin = sin.astype(self.dtype)
         qkv = nn.Dense(3 * d, name="Wqkv", dtype=self.dtype)(x)  # (K, 3d)
         # official layout: unflatten(-1, (heads, dh, 3))
         K = x.shape[0]
@@ -172,10 +211,10 @@ class CrossBlock(nn.Module):
         qk1 = _heads(to_qk(x1), h)
         v0 = _heads(to_v(x0), h)
         v1 = _heads(to_v(x1), h)
-        m0 = to_out(_merge(_attend(qk0, qk1, v1, kv_mask=mask1, dtype=self.dtype,
-                                   use_pallas=self.use_pallas)))
-        m1 = to_out(_merge(_attend(qk1, qk0, v0, kv_mask=mask0, dtype=self.dtype,
-                                   use_pallas=self.use_pallas)))
+        ctx0, ctx1 = _cross_attend(qk0, qk1, v0, v1, mask0=mask0, mask1=mask1,
+                                   dtype=self.dtype, use_pallas=self.use_pallas)
+        m0 = to_out(_merge(ctx0))
+        m1 = to_out(_merge(ctx1))
         x0 = x0 + ffn(jnp.concatenate([x0, m0.astype(x0.dtype)], axis=-1))
         x1 = x1 + ffn(jnp.concatenate([x1, m1.astype(x1.dtype)], axis=-1))
         return x0, x1
@@ -241,8 +280,12 @@ class LightGlueNet(nn.Module):
         o = self.opts
         cdtype = jnp.bfloat16 if o.mixed_precision else jnp.float32
         proj = nn.Dense(o.dim, name="input_proj")
-        x0 = proj(desc0)
-        x1 = proj(desc1)
+        # keep the RESIDUAL STREAM in the compute dtype too: with an f32
+        # stream every block boundary pays an (K, 2d) convert+add HBM pass
+        # (measured ~28% of the matcher's device time). LayerNorms inside
+        # the ffns still normalize in f32; the assignment head gets f32.
+        x0 = proj(desc0).astype(cdtype)
+        x1 = proj(desc1).astype(cdtype)
         posenc = FourierPosEnc(o.dim // o.num_heads, name="posenc")
         cos0, sin0 = posenc(coords0)
         cos1, sin1 = posenc(coords1)
@@ -256,7 +299,9 @@ class LightGlueNet(nn.Module):
         carry, _ = Layers(o.dim, o.num_heads, cdtype, o.use_pallas_attention,
                           name="layers")(carry, None)
         x0, x1 = carry[0], carry[1]
-        scores, z0, z1 = MatchAssignment(o.dim, name="assign")(x0, x1)
+        scores, z0, z1 = MatchAssignment(o.dim, name="assign")(
+            x0.astype(jnp.float32), x1.astype(jnp.float32)
+        )
         return scores, z0, z1
 
 

@@ -39,17 +39,23 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     ) * (1.0 / (dh**0.5))  # (TILE_Q, Kk)
     s = jnp.where(mask_ref[0][None, :] != 0, s, -1e9)
     p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
+    o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # cast to the output dtype INSIDE the kernel (VMEM) — emitting bf16
+    # halves the HBM write and kills the separate convert pass XLA would
+    # otherwise run before the next bf16 matmul (measured ~0.7 ms/iter of
+    # pure convert/copy fusions in the LightGlue trace).
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(q, k, v, kv_mask=None, interpret: bool = False):
     """q: (h, Kq, dh), k/v: (h, Kk, dh), kv_mask: (Kk,) bool or None.
-    Returns (h, Kq, dh) f32. Requires Kq % TILE_Q == 0."""
+    Returns (h, Kq, dh) in q's dtype (bf16 in -> bf16 out; softmax and both
+    matmul accumulations stay f32 in VMEM). Requires Kq % TILE_Q == 0."""
     h, Kq, dh = q.shape
     Kk = k.shape[1]
     if kv_mask is None:
@@ -67,7 +73,7 @@ def fused_attention(q, k, v, kv_mask=None, interpret: bool = False):
     grid = (h, Kq // tile_q)
     return pl.pallas_call(
         _attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((h, Kq, dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h, Kq, dh), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_q, dh), lambda hi, qi: (hi, qi, 0),
@@ -88,3 +94,75 @@ def fused_attention(q, k, v, kv_mask=None, interpret: bool = False):
         ),
         interpret=interpret,
     )(q, k, v, mask)
+
+
+def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, m0_ref, m1_ref,
+                  o0_ref, o1_ref):
+    # qk0: (1, K0, dh), qk1: (1, K1, dh), v0: (1, K0, dh), v1: (1, K1, dh)
+    qk0 = qk0_ref[0]
+    qk1 = qk1_ref[0]
+    dh = qk0.shape[-1]
+    s = jax.lax.dot_general(
+        qk0, qk1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / (dh**0.5))  # (K0, K1) f32, the SHARED similarity matrix
+    # direction 0 -> 1: queries are image-0 rows, keys masked by mask1
+    p0 = jax.nn.softmax(jnp.where(m1_ref[0][None, :] != 0, s, -1e9), axis=-1)
+    o0_ref[0] = jax.lax.dot_general(
+        p0.astype(v1_ref.dtype), v1_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o0_ref.dtype)
+    # direction 1 -> 0: queries are image-1 COLUMNS of the same s, keys
+    # masked by mask0 (rows); softmax down axis 0, contract rows with v0
+    p1 = jax.nn.softmax(jnp.where(m0_ref[0][:, None] != 0, s, -1e9), axis=0)
+    o1_ref[0] = jax.lax.dot_general(
+        p1.astype(v0_ref.dtype), v0_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o1_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_cross_attention(qk0, qk1, v0, v1, mask0=None, mask1=None,
+                          interpret: bool = False):
+    """Bidirectional cross attention sharing ONE score matmul (the official
+    LightGlue trick: S10 = S01^T). qk0/v0: (h, K0, dh), qk1/v1: (h, K1, dh).
+    Returns (o0 (h, K0, dh), o1 (h, K1, dh)) in the input dtype. One program
+    per head holds the full (K0, K1) f32 score tile in VMEM, row-softmaxes
+    it for 0->1 and column-softmaxes the SAME tile for 1->0 — one score
+    matmul and one K/V load instead of two of each (measured: cross blocks
+    are half the matcher's attention time)."""
+    h, K0, dh = qk0.shape
+    K1 = qk1.shape[1]
+    m0 = (jnp.ones((1, K0), jnp.int32) if mask0 is None
+          else mask0.astype(jnp.int32)[None, :])
+    m1 = (jnp.ones((1, K1), jnp.int32) if mask1 is None
+          else mask1.astype(jnp.int32)[None, :])
+    return pl.pallas_call(
+        _cross_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, K0, dh), qk0.dtype),
+            jax.ShapeDtypeStruct((h, K1, dh), qk1.dtype),
+        ),
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((1, K0, dh), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1, dh), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K0, dh), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1, dh), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K0), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K0, dh), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1, dh), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * h * K0 * K1 * dh,
+            bytes_accessed=2 * h * dh * (2 * K0 + 2 * K1) + 4 * h * dh * (K0 + K1),
+            transcendentals=2 * h * K0 * K1,
+        ),
+        interpret=interpret,
+    )(qk0, qk1, v0, v1, m0, m1)

@@ -73,3 +73,60 @@ def test_fused_attention_matches_xla_reference():
     p /= p.sum(-1, keepdims=True)
     want = np.einsum("hqk,hkd->hqd", p, np.asarray(v))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_cross_attention_matches_two_attends():
+    """Bidirectional cross kernel (one shared score matmul) == two
+    independent attention passes, including per-image masks."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.frontend.matchers.pallas_attention import fused_cross_attention
+
+    rng = np.random.default_rng(1)
+    h, K0, K1, dh = 2, 256, 128, 64
+    qk0 = jnp.asarray(rng.normal(size=(h, K0, dh)).astype(np.float32))
+    qk1 = jnp.asarray(rng.normal(size=(h, K1, dh)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(h, K0, dh)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(h, K1, dh)).astype(np.float32))
+    m0 = jnp.asarray(rng.random(K0) > 0.3)
+    m1 = jnp.asarray(rng.random(K1) > 0.3)
+
+    o0, o1 = fused_cross_attention(qk0, qk1, v0, v1, mask0=m0, mask1=m1,
+                                   interpret=True)
+
+    def ref_attend(q, k, v, kmask):
+        s = np.einsum("hqd,hkd->hqk", np.asarray(q), np.asarray(k)) / np.sqrt(dh)
+        s = np.where(np.asarray(kmask)[None, None, :], s, -1e9)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        return np.einsum("hqk,hkd->hqd", p, np.asarray(v))
+
+    np.testing.assert_allclose(np.asarray(o0), ref_attend(qk0, qk1, v1, m1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o1), ref_attend(qk1, qk0, v0, m0),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_xla_cross_attend_matches_two_attends():
+    """The shared-score XLA fallback in lightglue._cross_attend == two
+    _attend calls."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.frontend.matchers.lightglue import _attend, _cross_attend
+
+    rng = np.random.default_rng(2)
+    h, K0, K1, dh = 2, 96, 64, 32
+    qk0 = jnp.asarray(rng.normal(size=(h, K0, dh)).astype(np.float32))
+    qk1 = jnp.asarray(rng.normal(size=(h, K1, dh)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(h, K0, dh)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(h, K1, dh)).astype(np.float32))
+    m0 = jnp.asarray(rng.random(K0) > 0.25)
+    m1 = jnp.asarray(rng.random(K1) > 0.25)
+
+    o0, o1 = _cross_attend(qk0, qk1, v0, v1, mask0=m0, mask1=m1)
+    w0 = _attend(qk0, qk1, v1, kv_mask=m1)
+    w1 = _attend(qk1, qk0, v0, kv_mask=m0)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(w0), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(w1), rtol=2e-5, atol=2e-5)
