@@ -99,18 +99,31 @@ def _merge(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(1, 0, 2).reshape(K, h * dh)
 
 
+def _pallas_ok(*Ks, full_score: bool = True) -> bool:
+    """The fused kernels need TPU + 128-aligned keypoint counts + a
+    128-row f32 score strip fitting VMEM (the kernels tile queries).
+    full_score is kept for the legacy shared-tile cross kernel, whose
+    whole (K0, K1) tile must fit."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if not all(K % 128 == 0 for K in Ks):
+        return False
+    rows = max(Ks) if full_score else 128
+    return rows * max(Ks) * 4 <= 6 * 1024 * 1024
+
+
+def _merged_heads_ok(dim: int, heads: int) -> bool:
+    """The merged-layout kernel pairs two heads per program so its column
+    block is 128 lanes (a Mosaic block-width requirement)."""
+    return heads % 2 == 0 and (2 * (dim // heads)) % 128 == 0
+
+
 def _cross_attend(qk0, qk1, v0, v1, mask0=None, mask1=None,
                   dtype=jnp.float32, use_pallas=False):
     """Bidirectional cross attention computing the similarity matrix ONCE
     (S10 = S01^T — the official LightGlue bidirectional trick). Returns
     (message into image 0, message into image 1), each (h, K, dh)."""
-    if (
-        use_pallas
-        and jax.default_backend() in ("tpu", "axon")
-        and qk0.shape[1] % 128 == 0
-        and qk1.shape[1] % 128 == 0
-        and qk0.shape[1] * qk1.shape[1] * 4 <= 6 * 1024 * 1024  # S fits VMEM
-    ):
+    if use_pallas and _pallas_ok(qk0.shape[1], qk1.shape[1]):
         from gtsfm_tpu.frontend.matchers.pallas_attention import fused_cross_attention
 
         return fused_cross_attention(
@@ -180,15 +193,36 @@ class SelfBlock(nn.Module):
         # official layout: unflatten(-1, (heads, dh, 3))
         K = x.shape[0]
         qkv = qkv.reshape(K, h, d // h, 3)
-        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # (K, h, dh)
-        q = q.transpose(1, 0, 2)
-        k = k.transpose(1, 0, 2)
-        v = v.transpose(1, 0, 2)
-        q = _apply_rotary(q, cos[None], sin[None])
-        k = _apply_rotary(k, cos[None], sin[None])
-        ctx = _attend(q, k, v, kv_mask=mask, dtype=self.dtype,
-                      use_pallas=self.use_pallas)
-        message = nn.Dense(d, name="out_proj", dtype=self.dtype)(_merge(ctx))
+        if (self.use_pallas and _pallas_ok(K, full_score=False)
+                and _merged_heads_ok(d, h)):
+            # MERGED-layout path: heads stay in column slices of (K, d) —
+            # never materializes the (h, K, dh) transpose in HBM (14 such
+            # copies/layer measured ~10% of matcher device time). Rotary
+            # pairs adjacent lanes, and dh is even, so applying it on the
+            # merged tensor with head-tiled cos/sin is per-head exact.
+            from gtsfm_tpu.frontend.matchers.pallas_attention import (
+                fused_attention_merged,
+            )
+
+            q = qkv[..., 0].reshape(K, d)
+            k = qkv[..., 1].reshape(K, d)
+            v = qkv[..., 2].reshape(K, d)
+            cos_t = jnp.tile(cos, (1, h))
+            sin_t = jnp.tile(sin, (1, h))
+            q = q * cos_t + _rotate_half(q) * sin_t
+            k = k * cos_t + _rotate_half(k) * sin_t
+            ctx = fused_attention_merged(q, k, v, heads=h, kv_mask=mask)
+            message = nn.Dense(d, name="out_proj", dtype=self.dtype)(ctx)
+        else:
+            q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # (K, h, dh)
+            q = q.transpose(1, 0, 2)
+            k = k.transpose(1, 0, 2)
+            v = v.transpose(1, 0, 2)
+            q = _apply_rotary(q, cos[None], sin[None])
+            k = _apply_rotary(k, cos[None], sin[None])
+            ctx = _attend(q, k, v, kv_mask=mask, dtype=self.dtype,
+                          use_pallas=self.use_pallas)
+            message = nn.Dense(d, name="out_proj", dtype=self.dtype)(_merge(ctx))
         return x + _FFN(d, name="ffn", dtype=self.dtype)(
             jnp.concatenate([x, message.astype(x.dtype)], axis=-1)
         )
@@ -207,14 +241,31 @@ class CrossBlock(nn.Module):
         to_v = nn.Dense(d, name="to_v", dtype=self.dtype)
         to_out = nn.Dense(d, name="to_out", dtype=self.dtype)
         ffn = _FFN(d, name="ffn", dtype=self.dtype)
-        qk0 = _heads(to_qk(x0), h)
-        qk1 = _heads(to_qk(x1), h)
-        v0 = _heads(to_v(x0), h)
-        v1 = _heads(to_v(x1), h)
-        ctx0, ctx1 = _cross_attend(qk0, qk1, v0, v1, mask0=mask0, mask1=mask1,
-                                   dtype=self.dtype, use_pallas=self.use_pallas)
-        m0 = to_out(_merge(ctx0))
-        m1 = to_out(_merge(ctx1))
+        if (self.use_pallas
+                and _pallas_ok(x0.shape[0], x1.shape[0], full_score=False)
+                and _merged_heads_ok(d, h)):
+            # merged layout: projections feed the kernel directly, messages
+            # come back (K, d) — zero head transposes in HBM
+            from gtsfm_tpu.frontend.matchers.pallas_attention import (
+                fused_cross_attention_merged,
+            )
+
+            ctx0, ctx1 = fused_cross_attention_merged(
+                to_qk(x0), to_qk(x1), to_v(x0), to_v(x1), heads=h,
+                mask0=mask0, mask1=mask1,
+            )
+            m0 = to_out(ctx0)
+            m1 = to_out(ctx1)
+        else:
+            qk0 = _heads(to_qk(x0), h)
+            qk1 = _heads(to_qk(x1), h)
+            v0 = _heads(to_v(x0), h)
+            v1 = _heads(to_v(x1), h)
+            ctx0, ctx1 = _cross_attend(qk0, qk1, v0, v1, mask0=mask0,
+                                       mask1=mask1, dtype=self.dtype,
+                                       use_pallas=self.use_pallas)
+            m0 = to_out(_merge(ctx0))
+            m1 = to_out(_merge(ctx1))
         x0 = x0 + ffn(jnp.concatenate([x0, m0.astype(x0.dtype)], axis=-1))
         x1 = x1 + ffn(jnp.concatenate([x1, m1.astype(x1.dtype)], axis=-1))
         return x0, x1

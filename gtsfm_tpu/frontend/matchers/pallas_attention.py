@@ -124,6 +124,78 @@ def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, m0_ref, m1_ref,
     ).astype(o1_ref.dtype)
 
 
+def _attn_kernel_2d(q_ref, k_ref, v_ref, mask_ref, o_ref, *, dh: int):
+    # q: (TILE_Q, 2*dh), k/v: (Kk, 2*dh), mask: (1, Kk); one program per
+    # (head-PAIR, query-tile) — each program owns a 128-lane COLUMN block
+    # of the merged (K, heads*dh) array holding TWO heads (Mosaic requires
+    # block widths divisible by 128; dh=64), selected by the BlockSpec
+    # index_map, so the (h, K, dh) transpose never materializes in HBM
+    # (those transposes measured ~10% of the matcher's device time).
+    valid = mask_ref[0][None, :] != 0
+    scale = 1.0 / (dh**0.5)
+    for sub in range(2):
+        sl = slice(sub * dh, (sub + 1) * dh)
+        s = jax.lax.dot_general(
+            q_ref[:, sl], k_ref[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (TILE_Q, Kk)
+        p = jax.nn.softmax(jnp.where(valid, s, -1e9), axis=-1)
+        o_ref[:, sl] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+# NOTE: not jax.jit-wrapped — the callers are always under an outer jit.
+def fused_attention_merged(q, k, v, heads: int, kv_mask=None,
+                           interpret: bool = False):
+    """Multi-head attention on MERGED layout: q (Kq, heads*dh), k/v
+    (Kk, heads*dh), heads in column slices (two heads per program to make
+    the column block 128 lanes wide). Returns (Kq, heads*dh) in q's dtype
+    (softmax and matmul accumulations in f32 in VMEM). Requires
+    Kq % TILE_Q == 0, heads even, and 2*dh % 128 == 0."""
+    Kq, D = q.shape
+    Kk = k.shape[0]
+    dh = D // heads
+    if kv_mask is None:
+        mask = jnp.ones((1, Kk), jnp.int32)
+    else:
+        mask = kv_mask.astype(jnp.int32)[None, :]
+    # moderate tile: the kernel body unrolls two (tile_q, Kk) f32 score
+    # softmaxes, and Mosaic compile time grows superlinearly with the
+    # per-program vector footprint (a 1024-row 2-head body took >590 s)
+    tile_q = TILE_Q
+    while tile_q * 2 <= min(Kq, 256) and (tile_q * 2) * Kk * 4 <= 4 * 1024 * 1024:
+        tile_q *= 2
+    # query-tile is the FASTEST grid dim, so the K/V column blocks (index
+    # constant in qi) are DMA'd once per head-pair, not once per tile
+    return pl.pallas_call(
+        partial(_attn_kernel_2d, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((Kq, D), q.dtype),
+        grid=(heads // 2, Kq // tile_q),
+        in_specs=[
+            pl.BlockSpec((tile_q, 2 * dh), lambda gi, qi: (qi, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kk, 2 * dh), lambda gi, qi: (0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kk, 2 * dh), lambda gi, qi: (0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kk), lambda gi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, 2 * dh), lambda gi, qi: (qi, gi),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Kq * Kk * D,
+            bytes_accessed=4 * (Kq * D * 2 + 2 * Kk * D),
+            transcendentals=heads * Kq * Kk,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def fused_cross_attention(qk0, qk1, v0, v1, mask0=None, mask1=None,
                           interpret: bool = False):
@@ -166,3 +238,20 @@ def fused_cross_attention(qk0, qk1, v0, v1, mask0=None, mask1=None,
         ),
         interpret=interpret,
     )(qk0, qk1, v0, v1, m0, m1)
+
+
+def fused_cross_attention_merged(qk0, qk1, v0, v1, heads: int,
+                                 mask0=None, mask1=None,
+                                 interpret: bool = False):
+    """Bidirectional cross attention on MERGED layout: qk0/v0 (K0, D),
+    qk1/v1 (K1, D), D = heads * dh. Returns (o0 (K0, D), o1 (K1, D)) in
+    the input dtype. Two calls of the SAME merged attention kernel — the
+    transposed score is recomputed on the MXU (537 MFLOP at K=1024)
+    rather than column-softmaxed + axis-0-contracted from a shared tile,
+    which Mosaic lowers to VPU shuffles that cost more than the extra
+    matmul (measured: shared-tile variant ran at 55 TFLOP/s)."""
+    o0 = fused_attention_merged(qk0, qk1, v1, heads, kv_mask=mask1,
+                                interpret=interpret)
+    o1 = fused_attention_merged(qk1, qk0, v0, heads, kv_mask=mask0,
+                                interpret=interpret)
+    return o0, o1

@@ -130,3 +130,70 @@ def test_xla_cross_attend_matches_two_attends():
     w1 = _attend(qk1, qk0, v0, kv_mask=m0)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(w0), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(w1), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_merged_matches_per_head():
+    """Merged-layout kernel (heads in column slices) == per-head reference."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.frontend.matchers.pallas_attention import fused_attention_merged
+
+    rng = np.random.default_rng(3)
+    h, Kq, Kk, dh = 4, 256, 128, 16
+    D = h * dh
+    q = jnp.asarray(rng.normal(size=(Kq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(Kk, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(Kk, D)).astype(np.float32))
+    m = jnp.asarray(rng.random(Kk) > 0.3)
+
+    got = np.asarray(fused_attention_merged(q, k, v, heads=h, kv_mask=m,
+                                            interpret=True))
+    for hi in range(h):
+        sl = slice(hi * dh, (hi + 1) * dh)
+        s = np.asarray(q)[:, sl] @ np.asarray(k)[:, sl].T / np.sqrt(dh)
+        s = np.where(np.asarray(m)[None, :], s, -1e9)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = p @ np.asarray(v)[:, sl]
+        np.testing.assert_allclose(got[:, sl], want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_cross_attention_merged_matches_two_attends():
+    """Merged bidirectional cross kernel == two independent attention
+    passes on the split-head layout, including per-image masks."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsfm_tpu.frontend.matchers.pallas_attention import (
+        fused_cross_attention_merged,
+    )
+
+    rng = np.random.default_rng(4)
+    h, K0, K1, dh = 2, 256, 128, 32
+    D = h * dh
+    qk0 = jnp.asarray(rng.normal(size=(K0, D)).astype(np.float32))
+    qk1 = jnp.asarray(rng.normal(size=(K1, D)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(K0, D)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(K1, D)).astype(np.float32))
+    m0 = jnp.asarray(rng.random(K0) > 0.3)
+    m1 = jnp.asarray(rng.random(K1) > 0.3)
+
+    o0, o1 = fused_cross_attention_merged(qk0, qk1, v0, v1, heads=h,
+                                          mask0=m0, mask1=m1, interpret=True)
+
+    def ref(qa, kb, vb, mb):
+        out = np.zeros_like(np.asarray(qa))
+        for hi in range(h):
+            sl = slice(hi * dh, (hi + 1) * dh)
+            s = np.asarray(qa)[:, sl] @ np.asarray(kb)[:, sl].T / np.sqrt(dh)
+            s = np.where(np.asarray(mb)[None, :], s, -1e9)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            out[:, sl] = p @ np.asarray(vb)[:, sl]
+        return out
+
+    np.testing.assert_allclose(np.asarray(o0), ref(qk0, qk1, v1, m1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o1), ref(qk1, qk0, v0, m0),
+                               rtol=2e-5, atol=2e-5)
